@@ -106,8 +106,9 @@ _FIXED_LITLEN = build_decode_table(C.fixed_litlen_lengths())
 _FIXED_DIST = build_decode_table(C.fixed_dist_lengths())
 
 
-def _read_dynamic_tables(br: _BitReader):
-    """Parse HLIT/HDIST/HCLEN + RLE-coded code lengths (RFC 1951 §3.2.7)."""
+def read_dynamic_lengths(br: _BitReader) -> tuple[np.ndarray, np.ndarray]:
+    """Parse a dynamic block header, returning raw (litlen, dist) code
+    lengths (RFC 1951 §3.2.7).  Advances the reader past the header."""
     hlit = br.bits(5) + 257
     hdist = br.bits(5) + 1
     hclen = br.bits(4) + 4
@@ -142,9 +143,15 @@ def _read_dynamic_tables(br: _BitReader):
         raise InflateError("code length overflow")
     if lengths[256] == 0:
         raise InflateError("no end-of-block code")
+    return lengths[:hlit], lengths[hlit:]
+
+
+def _read_dynamic_tables(br: _BitReader):
+    """Parse HLIT/HDIST/HCLEN + RLE-coded code lengths (RFC 1951 §3.2.7)."""
+    ll_lengths, d_lengths = read_dynamic_lengths(br)
     try:
-        litlen = build_decode_table(lengths[:hlit])
-        dist = build_decode_table(lengths[hlit:])
+        litlen = build_decode_table(ll_lengths)
+        dist = build_decode_table(d_lengths)
     except HuffmanError as e:
         raise InflateError(f"bad dynamic table: {e}")
     return litlen, dist
