@@ -1,0 +1,123 @@
+"""Python-facing wrappers over the native scanner / inflate / checksums."""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from debigulator_tpu import constants as C
+from debigulator_tpu.native import get_lib
+from debigulator_tpu.ops.inflate_ref import BlockInfo, InflateError
+
+
+class _BlockRec(ctypes.Structure):
+    _fields_ = [
+        ("start_bit", ctypes.c_uint64),
+        ("data_start_bit", ctypes.c_uint64),
+        ("end_bit", ctypes.c_uint64),
+        ("out_start", ctypes.c_uint64),
+        ("out_size", ctypes.c_uint64),
+        ("btype", ctypes.c_int32),
+        ("bfinal", ctypes.c_int32),
+    ]
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _scan_raw(data: bytes, produce_output: bool):
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    max_blocks = max(64, len(data) // 16 + 16)
+    blocks = (_BlockRec * max_blocks)()
+    lengths = np.zeros(max_blocks * 320, np.int32)
+    out_cap = 0
+    out_buf = None
+    out_ptr = None
+    if produce_output:
+        # DEFLATE expands at most 1032x (stored floor ~). Start from a
+        # generous heuristic and retry on -3.
+        out_cap = max(1024, len(data) * 4)
+    out_size = ctypes.c_uint64(0)
+    while True:
+        if produce_output:
+            out_buf = np.zeros(out_cap, np.uint8)
+            out_ptr = out_buf.ctypes.data_as(ctypes.c_void_p)
+        nb = lib.dbg_scan(
+            data,
+            len(data),
+            ctypes.cast(blocks, ctypes.c_void_p),
+            max_blocks,
+            lengths.ctypes.data_as(ctypes.c_void_p),
+            out_ptr,
+            out_cap,
+            ctypes.byref(out_size),
+        )
+        if nb == -3 and produce_output:
+            out_cap *= 4
+            continue
+        if nb == -2:
+            max_blocks *= 4
+            blocks = (_BlockRec * max_blocks)()
+            lengths = np.zeros(max_blocks * 320, np.int32)
+            continue
+        if nb < 0:
+            raise InflateError(f"native scan failed (code {nb})")
+        break
+    return int(nb), blocks, lengths, out_buf, int(out_size.value)
+
+
+def scan_stream(data: bytes):
+    """Block index + per-block code lengths via native code (no output)."""
+    nb, blocks, lengths, _, _ = _scan_raw(data, produce_output=False)
+    infos, lens = [], []
+    for i in range(nb):
+        r = blocks[i]
+        infos.append(
+            BlockInfo(
+                start_bit=int(r.start_bit),
+                data_start_bit=int(r.data_start_bit),
+                end_bit=int(r.end_bit),
+                btype=int(r.btype),
+                bfinal=bool(r.bfinal),
+                out_start=int(r.out_start),
+                out_size=int(r.out_size),
+            )
+        )
+        if r.btype == C.BTYPE_STORED:
+            lens.append(None)
+        else:
+            ll = lengths[i * 320 : i * 320 + 288].copy()
+            dd = lengths[i * 320 + 288 : i * 320 + 320].copy()
+            lens.append((ll, dd))
+    return infos, lens
+
+
+def inflate_native(data: bytes):
+    """Full serial native inflate → (bytes, blocks)."""
+    nb, blocks, _, out_buf, out_size = _scan_raw(data, produce_output=True)
+    infos = []
+    for i in range(nb):
+        r = blocks[i]
+        infos.append(
+            BlockInfo(
+                int(r.start_bit), int(r.data_start_bit), int(r.end_bit),
+                int(r.btype), bool(r.bfinal), int(r.out_start), int(r.out_size),
+            )
+        )
+    return out_buf[:out_size].tobytes(), infos
+
+
+def crc32(data, crc: int = 0) -> int:
+    lib = get_lib()
+    data = bytes(memoryview(data))
+    return int(lib.dbg_crc32(data, len(data), crc))
+
+
+def adler32(data, adler: int = 1) -> int:
+    lib = get_lib()
+    data = bytes(memoryview(data))
+    return int(lib.dbg_adler32(data, len(data), adler))

@@ -1,0 +1,148 @@
+"""Device PNG unfilter: anti-diagonal wavefront (jittable).
+
+The reconstruction recurrence (PNG spec §9; reference triple loop
+decode_png.c:1430-1507) couples pixel (x, y) to (x-1, y), (x, y-1) and
+(x-1, y-1).  All cells on an anti-diagonal d = x + y are independent, so
+the TPU-native formulation walks diagonals with rows as vector lanes.
+
+To make a diagonal a *column* (contiguous vector), the image is skewed:
+``S[y, d] = R[y, d - y]``.  In skewed coordinates the neighbors are
+left = S[y, d-1], up = S[y-1, d-1], up-left = S[y-1, d-2] — so each step
+reads two previous columns, applies the per-row filter select (including
+the nonlinear Paeth predictor), and writes one column.  Channels are
+planes: the per-pixel left-neighbor distance bpp becomes distance 1 per
+plane, and planes batch as an extra lane dimension.
+
+Fast paths: filter sets {None, Up} and {None, Sub} reduce to (segmented)
+prefix sums mod 256 with no wavefront at all.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from debigulator_tpu import constants as C
+
+
+def _paeth_jnp(a, b, c):
+    p = a + b - c
+    pa = jnp.abs(p - a)
+    pb = jnp.abs(p - b)
+    pc = jnp.abs(p - c)
+    return jnp.where((pa <= pb) & (pa <= pc), a, jnp.where(pb <= pc, b, c))
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "bpp"))
+def unfilter_wavefront(filtered, height: int, width: int, bpp: int):
+    """General unfilter: (h*(1+w*bpp),) uint8 → (h, w*bpp) uint8."""
+    h, w = height, width
+    fil = filtered.reshape(h, 1 + w * bpp)
+    ftype = fil[:, 0].astype(jnp.int32)  # (h,)
+    # (h, w, bpp) → planes-major (bpp, h, w)
+    f = fil[:, 1:].reshape(h, w, bpp).transpose(2, 0, 1).astype(jnp.int32)
+
+    ndiag = w + h - 1
+    wpad = ndiag + 2  # slots for d in [0, ndiag); +2 so d-2 never wraps
+    # Skewed filtered values: F_sk[p, y, d] = f[p, y, d - y]
+    y_idx = jnp.arange(h)[:, None]
+    d_idx = jnp.arange(wpad)[None, :]
+    x_of = d_idx - y_idx
+    in_range = (x_of >= 0) & (x_of < w)
+    gather_x = jnp.clip(x_of, 0, w - 1)
+    f_sk = jnp.where(in_range[None], f[:, y_idx, gather_x], 0)  # (bpp, h, wpad)
+
+    ftype_col = ftype[None, :]  # (1, h)
+    up_shift = lambda col: jnp.concatenate(
+        [jnp.zeros((col.shape[0], 1), col.dtype), col[:, :-1]], axis=1
+    )
+
+    def body(d, s):
+        # s: (bpp, h, wpad) reconstructed-so-far (int32, 0 outside range)
+        cm1 = jax.lax.dynamic_slice_in_dim(s, d + 1, 1, axis=2)[..., 0]  # d-1
+        cm2 = jax.lax.dynamic_slice_in_dim(s, d, 1, axis=2)[..., 0]  # d-2
+        left = cm1
+        up = up_shift(cm1)
+        upleft = up_shift(cm2)
+        fcol = jax.lax.dynamic_slice_in_dim(f_sk, d, 1, axis=2)[..., 0]
+        pred = jnp.select(
+            [
+                ftype_col == C.PNG_FILTER_NONE,
+                ftype_col == C.PNG_FILTER_SUB,
+                ftype_col == C.PNG_FILTER_UP,
+                ftype_col == C.PNG_FILTER_AVERAGE,
+            ],
+            [jnp.zeros_like(left), left, up, (left + up) >> 1],
+            _paeth_jnp(left, up, upleft),
+        )
+        val = (fcol + pred) & 0xFF
+        # Only write in-range cells (x = d - y in [0, w)).
+        x_here = d - jnp.arange(h)
+        ok = (x_here >= 0) & (x_here < w)
+        val = jnp.where(ok[None, :], val, 0)
+        return jax.lax.dynamic_update_slice_in_dim(
+            s, val[..., None], d + 2, axis=2
+        )
+
+    # Shift storage by 2 so column d lives at slot d+2 and d-1/d-2 reads
+    # never index negatively.
+    s0 = jnp.zeros((bpp, h, wpad + 2), jnp.int32)
+    s = jax.lax.fori_loop(0, ndiag, body, s0)
+
+    # Un-skew: R[y, x] = S[y, x + y (+2)]
+    x_idx = jnp.arange(w)[None, :]
+    recon = s[:, y_idx, x_idx + y_idx + 2]  # (bpp, h, w)
+    return recon.transpose(1, 2, 0).reshape(h, w * bpp).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "bpp"))
+def unfilter_rowfast(filtered, height: int, width: int, bpp: int):
+    """Fast path for filter set ⊆ {None, Up}: segmented column prefix sums."""
+    h, w = height, width
+    fil = filtered.reshape(h, 1 + w * bpp)
+    ftype = fil[:, 0].astype(jnp.int32)
+    f = fil[:, 1:].astype(jnp.int32)  # (h, w*bpp)
+    # Up chains accumulate until a None row resets: segmented cumsum mod 256.
+    is_none = (ftype == C.PNG_FILTER_NONE)[:, None]
+    seg_id = jnp.cumsum(is_none.astype(jnp.int32), axis=0)
+
+    def scan_fn(carry, inp):
+        fr, reset = inp
+        acc = jnp.where(reset, fr, (carry + fr) & 0xFF)
+        return acc, acc
+
+    _, rows = jax.lax.scan(
+        scan_fn, jnp.zeros(w * bpp, jnp.int32), (f, is_none[:, 0])
+    )
+    del seg_id
+    return rows.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "bpp"))
+def unfilter_subfast(filtered, height: int, width: int, bpp: int):
+    """Fast path for filter set ⊆ {None, Sub}: per-row plane cumsums."""
+    h, w = height, width
+    fil = filtered.reshape(h, 1 + w * bpp)
+    ftype = fil[:, 0].astype(jnp.int32)
+    f = fil[:, 1:].reshape(h, w, bpp).astype(jnp.int32)
+    csum = jnp.cumsum(f, axis=1) & 0xFF
+    is_sub = (ftype == C.PNG_FILTER_SUB)[:, None, None]
+    out = jnp.where(is_sub, csum, f)
+    return out.reshape(h, w * bpp).astype(jnp.uint8)
+
+
+def unfilter_device(filtered, height: int, width: int, bpp: int) -> np.ndarray:
+    """Dispatching device unfilter (host inspects the filter-byte set)."""
+    filtered = jnp.asarray(filtered)
+    fb = np.asarray(filtered.reshape(height, 1 + width * bpp)[:, 0])
+    kinds = set(int(x) for x in np.unique(fb))
+    if kinds <= {C.PNG_FILTER_NONE, C.PNG_FILTER_UP}:
+        out = unfilter_rowfast(filtered, height, width, bpp)
+    elif kinds <= {C.PNG_FILTER_NONE, C.PNG_FILTER_SUB}:
+        out = unfilter_subfast(filtered, height, width, bpp)
+    else:
+        out = unfilter_wavefront(filtered, height, width, bpp)
+    return np.asarray(out)

@@ -1,0 +1,358 @@
+// debigulator_tpu native host runtime: DEFLATE stream scanner, serial
+// inflate, and checksums.
+//
+// Role (SURVEY §3 boundary note): everything below the device boundary is
+// JAX/Pallas; this file is the *host* side — the IO/runtime component that
+// feeds the accelerator: it indexes DEFLATE streams (block boundaries,
+// output offsets, code lengths) in one fast serial pass, provides a serial
+// inflate used as CLI fallback / encode-verification oracle, and computes
+// CRC-32/Adler-32 at memory speed (slice-by-8).
+//
+// Clean-room implementation from RFC 1951/1952/1950 — structured around a
+// canonical (count/first/base + sorted symbols) decoder, not the
+// reference's hashed-probe tables (inflate.c:494-557).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int kMaxBits = 15;
+
+struct BitReader {
+  const uint8_t* data;
+  uint64_t size;      // bytes
+  uint64_t bitpos;    // absolute bit position
+  bool overrun;
+
+  uint32_t bits(int n) {
+    // LSB-first read of n (<=24) bits.
+    uint64_t byte = bitpos >> 3;
+    if (byte + 4 > size) {
+      // Slow, safe tail path.
+      uint32_t v = 0;
+      for (int i = 0; i < n; i++) {
+        uint64_t b = (bitpos + i) >> 3;
+        if (b >= size) { overrun = true; break; }
+        v |= (uint32_t)((data[b] >> ((bitpos + i) & 7)) & 1) << i;
+      }
+      bitpos += n;
+      return v;
+    }
+    uint32_t w;
+    std::memcpy(&w, data + byte, 4);
+    uint32_t v = (w >> (bitpos & 7)) & ((1u << n) - 1);
+    bitpos += n;
+    return v;
+  }
+
+  uint32_t peek15() {
+    uint64_t byte = bitpos >> 3;
+    if (byte + 4 > size) {
+      uint32_t v = 0;
+      for (int i = 0; i < 15; i++) {
+        uint64_t b = (bitpos + i) >> 3;
+        if (b >= size) break;
+        v |= (uint32_t)((data[b] >> ((bitpos + i) & 7)) & 1) << i;
+      }
+      return v;
+    }
+    uint32_t w;
+    std::memcpy(&w, data + byte, 4);
+    return (w >> (bitpos & 7)) & 0x7FFF;
+  }
+};
+
+struct Table {
+  int32_t count[kMaxBits + 1];
+  int32_t first[kMaxBits + 1];   // smallest MSB-first code per length
+  int32_t base[kMaxBits + 1];    // offset into syms
+  int16_t syms[288];
+  // Fast path: direct 10-bit lookup (sym | len<<9), -1 if longer code.
+  int16_t fast_sym[1 << 10];
+  int8_t fast_len[1 << 10];
+  int ok;
+};
+
+uint32_t rev_bits(uint32_t x, int n) {
+  uint32_t r = 0;
+  for (int i = 0; i < n; i++) { r = (r << 1) | (x & 1); x >>= 1; }
+  return r;
+}
+
+// Canonical table construction (RFC 1951 §3.2.2).
+void build_table(const int32_t* lengths, int n, Table* t) {
+  t->ok = 1;
+  std::memset(t->count, 0, sizeof t->count);
+  for (int i = 0; i < n; i++) {
+    if (lengths[i] < 0 || lengths[i] > kMaxBits) { t->ok = 0; return; }
+    t->count[lengths[i]]++;
+  }
+  t->count[0] = 0;
+  int32_t code = 0, left = 1;
+  t->first[0] = 0;
+  for (int b = 1; b <= kMaxBits; b++) {
+    code = (code + t->count[b - 1]) << 1;
+    t->first[b] = code;
+    left = (left << 1) - t->count[b];
+    if (left < 0) { t->ok = 0; return; }
+  }
+  int32_t at = 0;
+  for (int b = 0; b <= kMaxBits; b++) { t->base[b] = at; at += t->count[b]; }
+  int32_t idx[kMaxBits + 1];
+  std::memcpy(idx, t->base, sizeof idx);
+  for (int s = 0; s < n; s++)
+    if (lengths[s]) t->syms[idx[lengths[s]]++] = (int16_t)s;
+  // Fast direct table over the low 10 reversed bits.
+  for (int w = 0; w < (1 << 10); w++) {
+    t->fast_sym[w] = -1;
+    t->fast_len[w] = 0;
+    uint32_t rev = rev_bits((uint32_t)w, 10);  // MSB-first 10-bit code prefix
+    for (int l = 1; l <= 10; l++) {
+      int32_t c = rev >> (10 - l);
+      int32_t off = c - t->first[l];
+      if (off >= 0 && off < t->count[l]) {
+        t->fast_sym[w] = t->syms[t->base[l] + off];
+        t->fast_len[w] = (int8_t)l;
+        break;
+      }
+    }
+  }
+}
+
+int decode_sym(BitReader& br, const Table& t) {
+  uint32_t w15 = br.peek15();
+  int16_t s = t.fast_sym[w15 & 0x3FF];
+  if (s >= 0) { br.bitpos += t.fast_len[w15 & 0x3FF]; return s; }
+  uint32_t rev = rev_bits(w15, 15);
+  for (int l = 11; l <= kMaxBits; l++) {
+    int32_t c = rev >> (kMaxBits - l);
+    int32_t off = c - t.first[l];
+    if (off >= 0 && off < t.count[l]) {
+      br.bitpos += l;
+      return t.syms[t.base[l] + off];
+    }
+  }
+  return -1;
+}
+
+const int32_t kLenBase[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,35,43,
+                              51,59,67,83,99,115,131,163,195,227,258};
+const int32_t kLenExtra[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,3,3,3,3,4,4,4,
+                               4,5,5,5,5,0};
+const int32_t kDistBase[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,193,257,
+                               385,513,769,1025,1537,2049,3073,4097,6145,8193,
+                               12289,16385,24577};
+const int32_t kDistExtra[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,9,9,
+                                10,10,11,11,12,12,13,13};
+const int kClOrder[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
+
+void fixed_lengths(int32_t* ll, int32_t* dd) {
+  for (int i = 0; i < 144; i++) ll[i] = 8;
+  for (int i = 144; i < 256; i++) ll[i] = 9;
+  for (int i = 256; i < 280; i++) ll[i] = 7;
+  for (int i = 280; i < 288; i++) ll[i] = 8;
+  for (int i = 0; i < 32; i++) dd[i] = 5;
+}
+
+// Parse a dynamic header into raw code lengths (RFC 1951 §3.2.7).
+int read_dynamic_lengths(BitReader& br, int32_t* ll, int32_t* dd,
+                         int* hlit_out, int* hdist_out) {
+  int hlit = (int)br.bits(5) + 257;
+  int hdist = (int)br.bits(5) + 1;
+  int hclen = (int)br.bits(4) + 4;
+  if (hlit > 286 || hdist > 30) return -1;
+  int32_t cl[19] = {0};
+  for (int i = 0; i < hclen; i++) cl[kClOrder[i]] = (int32_t)br.bits(3);
+  Table clt;
+  build_table(cl, 19, &clt);
+  if (!clt.ok) return -1;
+  int32_t lens[288 + 32] = {0};
+  int i = 0;
+  while (i < hlit + hdist) {
+    int sym = decode_sym(br, clt);
+    if (sym < 0 || br.overrun) return -1;
+    if (sym < 16) {
+      lens[i++] = sym;
+    } else if (sym == 16) {
+      if (i == 0) return -1;
+      int rep = 3 + (int)br.bits(2);
+      if (i + rep > hlit + hdist) return -1;
+      for (int r = 0; r < rep; r++, i++) lens[i] = lens[i - 1];
+    } else if (sym == 17) {
+      i += 3 + (int)br.bits(3);
+    } else {
+      i += 11 + (int)br.bits(7);
+    }
+  }
+  if (i != hlit + hdist || lens[256] == 0) return -1;
+  std::memset(ll, 0, 288 * sizeof(int32_t));
+  std::memset(dd, 0, 32 * sizeof(int32_t));
+  std::memcpy(ll, lens, hlit * sizeof(int32_t));
+  std::memcpy(dd, lens + hlit, hdist * sizeof(int32_t));
+  *hlit_out = hlit;
+  *hdist_out = hdist;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct BlockRec {
+  uint64_t start_bit;
+  uint64_t data_start_bit;
+  uint64_t end_bit;
+  uint64_t out_start;
+  uint64_t out_size;
+  int32_t btype;
+  int32_t bfinal;
+};
+
+// Scan a raw DEFLATE stream: fill block records + per-block code lengths
+// (288 litlen + 32 dist int32 per block; zeros for stored blocks).
+// If `output` is non-null (capacity out_cap), also produce decompressed
+// bytes (full serial inflate).  Returns number of blocks, or -1 on error,
+// -2 if block capacity exceeded, -3 if output capacity exceeded.
+int64_t dbg_scan(const uint8_t* data, uint64_t size,
+                 BlockRec* blocks, int64_t max_blocks,
+                 int32_t* lengths_buf,  // max_blocks * 320
+                 uint8_t* output, uint64_t out_cap,
+                 uint64_t* out_size_ret) {
+  BitReader br{data, size, 0, false};
+  int64_t nb = 0;
+  uint64_t out_at = 0;
+  const bool produce = output != nullptr;
+  for (;;) {
+    if (nb >= max_blocks) return -2;
+    BlockRec& rec = blocks[nb];
+    rec.start_bit = br.bitpos;
+    rec.bfinal = (int32_t)br.bits(1);
+    rec.btype = (int32_t)br.bits(2);
+    int32_t* ll = lengths_buf + nb * 320;
+    int32_t* dd = ll + 288;
+    std::memset(ll, 0, 320 * sizeof(int32_t));
+    if (br.overrun) return -1;
+    if (rec.btype == 0) {
+      br.bitpos = (br.bitpos + 7) & ~7ull;
+      uint64_t byte = br.bitpos >> 3;
+      if (byte + 4 > size) return -1;
+      uint32_t len = data[byte] | (data[byte + 1] << 8);
+      uint32_t nlen = data[byte + 2] | (data[byte + 3] << 8);
+      if ((len ^ nlen) != 0xFFFF) return -1;
+      rec.data_start_bit = (byte + 4) * 8;
+      if (byte + 4 + len > size) return -1;
+      if (produce) {
+        if (out_at + len > out_cap) return -3;
+        std::memcpy(output + out_at, data + byte + 4, len);
+      }
+      out_at += len;
+      rec.out_start = out_at - len;
+      rec.out_size = len;
+      br.bitpos = (byte + 4 + len) * 8;
+      rec.end_bit = br.bitpos;
+    } else if (rec.btype == 1 || rec.btype == 2) {
+      Table lt, dt;
+      if (rec.btype == 1) {
+        fixed_lengths(ll, dd);
+      } else {
+        int hlit, hdist;
+        if (read_dynamic_lengths(br, ll, dd, &hlit, &hdist) < 0) return -1;
+      }
+      build_table(ll, 288, &lt);
+      build_table(dd, 32, &dt);
+      if (!lt.ok || !dt.ok) return -1;
+      rec.data_start_bit = br.bitpos;
+      rec.out_start = out_at;
+      for (;;) {
+        if (br.overrun || br.bitpos > size * 8) return -1;
+        int sym = decode_sym(br, lt);
+        if (sym < 0) return -1;
+        if (sym < 256) {
+          if (produce) {
+            if (out_at >= out_cap) return -3;
+            output[out_at] = (uint8_t)sym;
+          }
+          out_at++;
+        } else if (sym == 256) {
+          break;
+        } else {
+          if (sym > 285) return -1;
+          int li = sym - 257;
+          uint32_t length = kLenBase[li] + br.bits(kLenExtra[li]);
+          int dsym = decode_sym(br, dt);
+          if (dsym < 0 || dsym > 29) return -1;
+          uint32_t dist = kDistBase[dsym] + br.bits(kDistExtra[dsym]);
+          if (dist > out_at) return -1;
+          if (produce) {
+            if (out_at + length > out_cap) return -3;
+            // Overlap-safe byte copy (RFC 1951 §3.2.3 semantics).
+            for (uint32_t k = 0; k < length; k++)
+              output[out_at + k] = output[out_at + k - dist];
+          }
+          out_at += length;
+        }
+      }
+      rec.end_bit = br.bitpos;
+      rec.out_size = out_at - rec.out_start;
+    } else {
+      return -1;
+    }
+    nb++;
+    if (rec.bfinal) break;
+  }
+  if (out_size_ret) *out_size_ret = out_at;
+  return nb;
+}
+
+// ---------------------------------------------------------------------------
+// Checksums (slice-by-8 CRC-32; straightforward Adler-32).
+// ---------------------------------------------------------------------------
+
+static uint32_t crc_tab[8][256];
+static int crc_init_done = 0;
+
+static void crc_init() {
+  if (crc_init_done) return;
+  for (uint32_t i = 0; i < 256; i++) {
+    uint32_t c = i;
+    for (int k = 0; k < 8; k++) c = (c & 1) ? (c >> 1) ^ 0xEDB88320u : c >> 1;
+    crc_tab[0][i] = c;
+  }
+  for (int s = 1; s < 8; s++)
+    for (uint32_t i = 0; i < 256; i++)
+      crc_tab[s][i] = (crc_tab[s - 1][i] >> 8) ^ crc_tab[0][crc_tab[s - 1][i] & 0xFF];
+  crc_init_done = 1;
+}
+
+uint32_t dbg_crc32(const uint8_t* data, uint64_t n, uint32_t crc) {
+  crc_init();
+  uint32_t c = crc ^ 0xFFFFFFFFu;
+  while (n && ((uintptr_t)data & 7)) { c = (c >> 8) ^ crc_tab[0][(c ^ *data++) & 0xFF]; n--; }
+  while (n >= 8) {
+    uint32_t lo, hi;
+    std::memcpy(&lo, data, 4);
+    std::memcpy(&hi, data + 4, 4);
+    lo ^= c;
+    c = crc_tab[7][lo & 0xFF] ^ crc_tab[6][(lo >> 8) & 0xFF] ^
+        crc_tab[5][(lo >> 16) & 0xFF] ^ crc_tab[4][lo >> 24] ^
+        crc_tab[3][hi & 0xFF] ^ crc_tab[2][(hi >> 8) & 0xFF] ^
+        crc_tab[1][(hi >> 16) & 0xFF] ^ crc_tab[0][hi >> 24];
+    data += 8; n -= 8;
+  }
+  while (n--) c = (c >> 8) ^ crc_tab[0][(c ^ *data++) & 0xFF];
+  return c ^ 0xFFFFFFFFu;
+}
+
+uint32_t dbg_adler32(const uint8_t* data, uint64_t n, uint32_t adler) {
+  uint32_t s1 = adler & 0xFFFF, s2 = adler >> 16;
+  while (n) {
+    uint64_t chunk = n > 5552 ? 5552 : n;  // max bytes before s2 overflow
+    n -= chunk;
+    while (chunk--) { s1 += *data++; s2 += s1; }
+    s1 %= 65521; s2 %= 65521;
+  }
+  return (s2 << 16) | s1;
+}
+
+}  // extern "C"

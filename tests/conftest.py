@@ -1,18 +1,19 @@
-"""Test config: force a deterministic 8-device CPU mesh for sharding tests.
+"""Test config: force a deterministic 8-device CPU mesh for all tests.
 
-Real-chip runs use bench.py / the CLIs; unit + sharding tests run on the
-CPU backend so they work everywhere (and in CI without a TPU).
+The environment pins JAX_PLATFORMS=axon (the single real TPU chip via a
+tunnel) and ignores the env-var override, so we must force the CPU backend
+through jax.config before any computation.  Unit + sharding tests run on
+CPU with 8 virtual devices; real-chip runs go through bench.py / the CLIs.
 """
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # belt — some paths do honor it
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # suspenders — axon ignores env
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pathlib
 
