@@ -1,0 +1,116 @@
+"""End-to-end device pipelines: compressed bytes in → decoded tensors out.
+
+This is the production path (host side kept to container parsing + the
+native block scan, per the boundary in SURVEY §3): gzip members and PNG
+IDAT streams decode on device via ops.inflate_device, PNG reconstruction
+runs the wavefront unfilter kernel, color expansion is a device gather,
+and integrity checks (CRC-32 / Adler-32) can run on device or host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+from debigulator_tpu import constants as C
+from debigulator_tpu.models import png_codec
+from debigulator_tpu.models.gzip_codec import GzipError, _parse_header
+from debigulator_tpu.models.zlib_codec import parse_zlib_header
+from debigulator_tpu.ops import checksum as ck
+from debigulator_tpu.ops.inflate_device import inflate_device
+from debigulator_tpu.ops.unfilter_device import unfilter_device
+
+
+def decode_gzip_device(data, verify: bool = True) -> bytes:
+    """gzip decode with all DEFLATE work on device (multi-member)."""
+    data = memoryview(data)
+    n = len(data)
+    if n == 0:
+        raise GzipError("empty input is not a gzip stream")
+    from debigulator_tpu.ops.scanner import scan_stream
+
+    out_parts = []
+    at = 0
+    while at < n:
+        p, hdr = _parse_header(data, at)
+        payload = bytes(data[p:])
+        blocks, lengths = scan_stream(payload)
+        end = p + (blocks[-1].end_bit + 7) // 8
+        if end + 8 > n:
+            raise GzipError("truncated gzip footer")
+        out = inflate_device(payload[: end - p])
+        crc, isize = struct.unpack_from("<II", data, end)
+        if verify:
+            if len(out) & 0xFFFFFFFF != isize:
+                raise GzipError(f"ISIZE mismatch: {len(out)} vs {isize}")
+            if ck.crc32(out) != crc:
+                raise GzipError("CRC-32 mismatch")
+        out_parts.append(out)
+        at = end + 8
+    return b"".join(out_parts)
+
+
+def decode_png_device(data, verify_crc: bool = True, verify_adler: bool = True):
+    """PNG decode: device inflate + wavefront unfilter + device expansion."""
+    chunks = png_codec.parse_chunks(data, verify_crc=verify_crc)
+    info = chunks.info
+    parse_zlib_header(chunks.idat)
+    raw = inflate_device(chunks.idat[2:])
+    expected_size = info.height * (1 + info.stride)
+    if len(raw) != expected_size:
+        raise png_codec.PngError(
+            f"decompressed size {len(raw)} != expected {expected_size}"
+        )
+    if verify_adler:
+        (expected,) = struct.unpack_from(">I", chunks.idat, len(chunks.idat) - 4)
+        if ck.adler32(raw) != expected:
+            raise png_codec.PngError("IDAT Adler-32 mismatch")
+    recon = unfilter_device(
+        np.frombuffer(raw, np.uint8), info.height, info.width, info.bpp
+    )
+    return png_codec.expand_to_rgba(
+        np.asarray(recon), info, chunks.palette, chunks.trns
+    )
+
+
+@dataclasses.dataclass
+class DecodeResult:
+    """Batch decode result entry (good-flag error model like the reference,
+    decode_png.h:91-94, but per item instead of global)."""
+
+    name: str
+    good: bool
+    data: np.ndarray | bytes | None
+    error: str | None = None
+
+
+def decode_corpus(paths, device: bool = True) -> list[DecodeResult]:
+    """Decode a mixed list of .png/.gz/.bmp files (the concat_pngs.c /
+    batch analog).  One bad file poisons only its own entry."""
+    results = []
+    for path in paths:
+        path = str(path)
+        name = path.rsplit("/", 1)[-1]
+        try:
+            blob = open(path, "rb").read()
+            if name.endswith(".png"):
+                img = decode_png_device(blob) if device else png_codec.decode_png(blob)
+                results.append(DecodeResult(name, True, img))
+            elif name.endswith(".gz"):
+                out = decode_gzip_device(blob) if device else None
+                if out is None:
+                    from debigulator_tpu.models.gzip_codec import decode_gzip
+
+                    out = decode_gzip(blob)
+                results.append(DecodeResult(name, True, out))
+            elif name.endswith(".bmp"):
+                from debigulator_tpu.models.bmp_codec import decode_bmp
+
+                results.append(DecodeResult(name, True, decode_bmp(blob)))
+            else:
+                results.append(DecodeResult(name, False, None, "unknown format"))
+        except Exception as e:  # noqa: BLE001 — per-item failure isolation
+            results.append(DecodeResult(name, False, None, f"{type(e).__name__}: {e}"))
+    return results
