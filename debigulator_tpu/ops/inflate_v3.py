@@ -1,0 +1,548 @@
+"""Device-parallel inflate v3 — gather-minimal XLA pipeline.
+
+Measured reality on TPU v5e (profiler-trace-verified): XLA gathers and
+scatters execute serially at ~7.5 ns/element, while fused element-wise ops
+stream at VPU rates.  v3 therefore spends its work in element-wise form:
+
+* **Host rebase.**  The native scanner indexes blocks; the host bit-shifts
+  every compressed block's payload onto a 64-bit-aligned *virtual stream*
+  (NumPy word shifts).  Alignment makes every 64-bit cell's 128-state
+  window a pure reshape of the global NXT table — no per-chunk gathers —
+  and block entry states coincide with pinned cell starts.
+* **Per-cell parameters.**  Each cell belongs to one block, so per-length
+  decode parameters (count/first/base, RFC 1951 §3.2.2) broadcast from
+  per-cell vectors (one small one-hot matmul over NB), not per-position
+  gathers.  The only true gathers left are the two per-position symbol
+  lookups (litlen + dist) into value-augmented symbol tables — 2 gathers
+  per bit position total (v2 used ~90).
+* **Cell chase with exact fixpoint.**  Cells are lanes.  A decode step is
+  ``next = Σ_k onehot(s_local)·T_cell[k]`` — element-wise multiply +
+  reduce over the 128-entry cell window, no gather.  Entry states feed
+  forward (exit of cell c−1 → entry of cell c; block starts pinned) until
+  a fixpoint — self-synchronizing Huffman makes that 2-3 sweeps, and the
+  convergence check makes it exact.  Emissions land in per-cell tape rows
+  (dense column writes), already in stream order.
+
+Phase B (LZ77) consumes the tape either through the Pallas token kernel
+(ops.lz77_pallas) or the XLA fallback resolver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from debigulator_tpu import constants as C
+from debigulator_tpu.ops.huffman import build_decode_table
+from debigulator_tpu.ops.inflate_ref import BlockInfo
+
+CELL_BITS = 512
+CELL_STATES = 2 * CELL_BITS
+#: Tape slots per cell.  ≥ CELL_BITS is always exact; smaller values are
+#: verified at runtime via the per-cell emission count (overflow → the
+#: caller retries with the exact bound).
+DEFAULT_SLOTS = 96
+
+# meta[state] packing: bits 0-15 payload (literal byte / distance),
+# bits 16-24 pending length (at length-symbol states), bits 25-26 kind.
+META_KIND_SHIFT = 25
+K_NONE, K_LIT, K_DIST = 0, 1, 2
+
+_LIT = 0
+_DIST = 1
+
+# Token packing (tape entries): literal = byte value in [0, 256);
+# match = (1 << 30) | length << 16 | dist; empty slot = -1.
+TOK_MATCH_BIT = 1 << 30
+
+#: Terminal state after the final EOB: outside every cell window.
+TERMINAL = -2
+
+
+def _round_pow2(n: int, lo: int = 256) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+@dataclasses.dataclass
+class PlanV3:
+    vbytes: np.ndarray  # uint8 virtual stream (aligned blocks)
+    n_bits: int  # virtual bit count (static, pow2)
+    num_cells: int
+    # per-cell
+    cell_block: np.ndarray  # (Cells,) int32
+    cell_entry: np.ndarray  # (Cells,) int32 pinned entry state or -1
+    # per-block stacked tables
+    ll_count: np.ndarray  # (NB,16)
+    ll_first: np.ndarray
+    ll_base: np.ndarray
+    ll_aug: np.ndarray  # (NB,288) packed sym|extra|base
+    d_count: np.ndarray
+    d_first: np.ndarray
+    d_base: np.ndarray
+    d_aug: np.ndarray  # (NB,32)
+    block_next_entry: np.ndarray  # (NB,)
+    block_out_base: np.ndarray  # (NB,) stored bytes before block
+    first_state: int
+    out_size: int
+    stored_pos: np.ndarray
+    stored_val: np.ndarray
+    slots: int
+
+
+def _augment_litlen(syms: np.ndarray, nsyms: int) -> np.ndarray:
+    """Pack per-decode-index litlen info: is_len/is_eob flags + extra bits +
+    base value.  Layout: bits 0-8 value (literal byte or length base),
+    bits 9-12 extra-bit count, bit 13 is_len, bit 14 is_eob."""
+    out = np.zeros(len(syms), np.int32)
+    for i, s in enumerate(syms):
+        s = int(s)
+        if s < 256:
+            out[i] = s
+        elif s == 256:
+            out[i] = 1 << 14
+        elif s > 285:
+            out[i] = 0  # reserved symbols 286/287: corrupt-stream garbage
+        else:
+            li = s - 257
+            out[i] = (
+                int(C.LENGTH_BASE[li])
+                | (int(C.LENGTH_EXTRA_BITS[li]) << 9)
+                | (1 << 13)
+            )
+    return out
+
+
+def _augment_dist(syms: np.ndarray) -> np.ndarray:
+    """Pack dist info: bits 0-14 base, bits 15-18 extra-bit count."""
+    out = np.zeros(len(syms), np.int32)
+    for i, s in enumerate(syms):
+        s = int(s)
+        if s <= 29:
+            out[i] = int(C.DIST_BASE[s]) | (int(C.DIST_EXTRA_BITS[s]) << 15)
+    return out
+
+
+def build_plan_v3(data: bytes, blocks: list[BlockInfo], block_lengths,
+                  slots: int = DEFAULT_SLOTS) -> PlanV3:
+    buf = np.frombuffer(memoryview(data), np.uint8)
+    src64 = np.zeros(len(buf) + 16, np.uint8)
+    src64[: len(buf)] = buf
+
+    nb = len(blocks)
+    ll_count = np.zeros((nb, 16), np.int32)
+    ll_first = np.zeros((nb, 16), np.int32)
+    ll_base = np.zeros((nb, 16), np.int32)
+    ll_aug = np.zeros((nb, 288), np.int32)
+    d_count = np.zeros((nb, 16), np.int32)
+    d_first = np.zeros((nb, 16), np.int32)
+    d_base = np.zeros((nb, 16), np.int32)
+    d_aug = np.zeros((nb, 32), np.int32)
+    block_next_entry = np.zeros(nb, np.int32)
+    block_out_base = np.zeros(nb, np.int32)
+
+    stored_pos_parts, stored_val_parts = [], []
+    stored_before = 0
+
+    # --- virtual layout ---
+    vbase = np.zeros(nb, np.int64)
+    vb_parts = []
+    cursor = 0
+    comp_blocks = []
+    for b, info in enumerate(blocks):
+        block_out_base[b] = stored_before
+        if info.btype == C.BTYPE_STORED:
+            sb = info.data_start_bit // 8
+            stored_pos_parts.append(
+                np.arange(info.out_start, info.out_start + info.out_size,
+                          dtype=np.int32)
+            )
+            stored_val_parts.append(buf[sb : sb + info.out_size])
+            stored_before += info.out_size
+            vbase[b] = -1
+            continue
+        comp_blocks.append(b)
+        nbits = info.end_bit - info.data_start_bit
+        ncells = max(1, -(-nbits // CELL_BITS))
+        vbase[b] = cursor
+        # Bit-shift the block payload to virtual alignment.
+        sbyte = info.data_start_bit // 8
+        r = info.data_start_bit % 8
+        nbytes = ncells * CELL_BITS // 8
+        seg = src64[sbyte : sbyte + nbytes + 1].astype(np.uint16)
+        shifted = ((seg[:-1] >> r) | (seg[1:] << (8 - r))).astype(np.uint8) if r else src64[sbyte : sbyte + nbytes]
+        part = np.zeros(nbytes, np.uint8)
+        part[: len(shifted)] = shifted[:nbytes]
+        # Zero bits past the block's real end to keep padding deterministic.
+        vb_parts.append(part)
+        cursor += ncells * CELL_BITS
+
+        lengths = block_lengths[b]
+        llt = build_decode_table(lengths[0])
+        dt = build_decode_table(lengths[1])
+        ll_count[b] = llt.count
+        ll_first[b] = llt.first_code
+        ll_base[b] = llt.index_base
+        ll_aug[b, : len(llt.syms)] = _augment_litlen(llt.syms, len(llt.syms))
+        d_count[b] = dt.count
+        d_first[b] = dt.first_code
+        d_base[b] = dt.index_base
+        d_aug[b, : len(dt.syms)] = _augment_dist(dt.syms)
+
+    n_bits_used = max(cursor, CELL_BITS)
+    n_bits = _round_pow2(n_bits_used, 1 << 10)
+    vbytes = np.zeros(n_bits // 8 + 16, np.uint8)
+    if vb_parts:
+        allp = np.concatenate(vb_parts)
+        vbytes[: len(allp)] = allp
+
+    # Chain EOBs: block b → next compressed block's entry (or TERMINAL=-2,
+    # which lies outside every cell window so chases go inactive there).
+    next_entry = TERMINAL
+    for b in reversed(range(nb)):
+        block_next_entry[b] = next_entry
+        if vbase[b] >= 0:
+            next_entry = int(vbase[b]) * 2 + _LIT
+    first_state = next_entry
+
+    num_cells = n_bits // CELL_BITS
+    cell_block = np.zeros(num_cells, np.int32)
+    cell_entry = np.full(num_cells, -1, np.int32)
+    for b in comp_blocks:
+        info = blocks[b]
+        nbits_b = info.end_bit - info.data_start_bit
+        ncells = max(1, -(-nbits_b // CELL_BITS))
+        c0 = int(vbase[b]) // CELL_BITS
+        cell_block[c0 : c0 + ncells] = b
+        cell_entry[c0] = int(vbase[b]) * 2 + _LIT
+
+    return PlanV3(
+        vbytes=vbytes,
+        n_bits=n_bits,
+        num_cells=num_cells,
+        cell_block=cell_block,
+        cell_entry=cell_entry,
+        ll_count=ll_count,
+        ll_first=ll_first,
+        ll_base=ll_base,
+        ll_aug=ll_aug,
+        d_count=d_count,
+        d_first=d_first,
+        d_base=d_base,
+        d_aug=d_aug,
+        block_next_entry=block_next_entry,
+        block_out_base=block_out_base,
+        first_state=first_state,
+        out_size=(blocks[-1].out_start + blocks[-1].out_size) if blocks else 0,
+        stored_pos=(np.concatenate(stored_pos_parts) if stored_pos_parts
+                    else np.zeros(0, np.int32)),
+        stored_val=(np.concatenate(stored_val_parts) if stored_val_parts
+                    else np.zeros(0, np.uint8)),
+        slots=slots,
+    )
+
+
+def plan_arrays_v3(plan: PlanV3) -> dict:
+    return {
+        "vbytes": jnp.asarray(plan.vbytes),
+        "cell_block": jnp.asarray(plan.cell_block),
+        "cell_entry": jnp.asarray(plan.cell_entry),
+        "ll_count": jnp.asarray(plan.ll_count),
+        "ll_first": jnp.asarray(plan.ll_first),
+        "ll_base": jnp.asarray(plan.ll_base),
+        "ll_aug_flat": jnp.asarray(plan.ll_aug.reshape(-1)),
+        "d_count": jnp.asarray(plan.d_count),
+        "d_first": jnp.asarray(plan.d_first),
+        "d_base": jnp.asarray(plan.d_base),
+        "d_aug_flat": jnp.asarray(plan.d_aug.reshape(-1)),
+        "block_next_entry": jnp.asarray(plan.block_next_entry),
+        "block_out_base": jnp.asarray(plan.block_out_base),
+        "stored_pos": jnp.asarray(plan.stored_pos),
+        "stored_val": jnp.asarray(plan.stored_val),
+        "first_state": jnp.int32(plan.first_state),
+    }
+
+
+def _rev15(x):
+    x = x.astype(jnp.uint32)
+    x = ((x & jnp.uint32(0x5555)) << 1) | ((x & jnp.uint32(0xAAAA)) >> 1)
+    x = ((x & jnp.uint32(0x3333)) << 2) | ((x & jnp.uint32(0xCCCC)) >> 2)
+    x = ((x & jnp.uint32(0x0F0F)) << 4) | ((x & jnp.uint32(0xF0F0)) >> 4)
+    x = ((x & jnp.uint32(0x00FF)) << 8) | ((x & jnp.uint32(0xFF00)) >> 8)
+    return (x >> jnp.uint32(1)).astype(jnp.int32)
+
+
+def build_graph_v3(arrays, n_bits: int):
+    """NXT / EMIT over 2*n_bits states; ~2 true gathers per position."""
+    num_cells = n_bits // CELL_BITS
+    b8 = arrays["vbytes"].astype(jnp.uint32)
+    w = b8[:-3] | (b8[1:-2] << 8) | (b8[2:-1] << 16) | (b8[3:] << 24)
+    # 32-valid-bit windows at every position: two-word combine.
+    n_bytes = n_bits // 8
+    w_lo = jnp.repeat(w[:n_bytes], 8)
+    w_hi = jnp.repeat(w[4 : n_bytes + 4], 8)
+    sh = jnp.tile(jnp.arange(8, dtype=jnp.uint32), n_bytes)
+    win = (w_lo >> sh) | jnp.where(sh > 0, w_hi << (jnp.uint32(32) - sh), 0)
+
+    rev = _rev15(win & jnp.uint32(0x7FFF))  # (N,)
+
+    cb = arrays["cell_block"]  # (Cells,)
+    nbq = arrays["ll_count"].shape[0]
+
+    def decode(count_t, first_t, base_t, aug_flat, aug_stride):
+        # Per-cell params broadcast per position (free inside fusion).
+        length = jnp.zeros((num_cells, CELL_BITS), jnp.int32)
+        offset = jnp.zeros((num_cells, CELL_BITS), jnp.int32)
+        rev2 = rev.reshape(num_cells, CELL_BITS)
+        for l in range(1, C.MAX_BITS + 1):
+            cnt = count_t[cb, l][:, None]  # (Cells,1) — tiny gather over NB
+            fst = first_t[cb, l][:, None]
+            bse = base_t[cb, l][:, None]
+            code_l = rev2 >> (C.MAX_BITS - l)
+            off_l = code_l - fst
+            ok = (off_l >= 0) & (off_l < cnt) & (length == 0)
+            length = jnp.where(ok, l, length)
+            offset = jnp.where(ok, bse + off_l, offset)
+        unmatched = length == 0
+        length = jnp.where(unmatched, C.MAX_BITS, length)
+        idx = cb[:, None] * aug_stride + offset
+        aug = aug_flat[idx.reshape(-1)]  # ← the one true gather
+        aug = jnp.where(unmatched.reshape(-1), 0, aug)
+        return aug, length.reshape(-1)
+
+    ll_aug, ll_len = decode(
+        arrays["ll_count"], arrays["ll_first"], arrays["ll_base"],
+        arrays["ll_aug_flat"], 288,
+    )
+    d_aug, d_len = decode(
+        arrays["d_count"], arrays["d_first"], arrays["d_base"],
+        arrays["d_aug_flat"], 32,
+    )
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n_bits, 1), 0).reshape(-1)
+    blk = jnp.repeat(cb, CELL_BITS)
+
+    # litlen mode
+    lval = ll_aug & 0x1FF
+    leb = (ll_aug >> 9) & 0xF
+    is_len = (ll_aug >> 13) & 1
+    is_eob = (ll_aug >> 14) & 1
+    lextra = (win >> ll_len.astype(jnp.uint32)).astype(jnp.int32) & ((1 << leb) - 1)
+    length_val = lval + lextra
+    adv_lit = ll_len + jnp.where(is_len == 1, leb, 0)
+    nxt_lit = (pos + adv_lit) * 2 + jnp.where(is_len == 1, _DIST, _LIT)
+    nxt_lit = jnp.where(
+        is_eob == 1, arrays["block_next_entry"][blk], nxt_lit
+    )
+    # lit-state emission: literal byte or none (len/EOB emit at dist/none).
+    emit_lit = jnp.where((is_len == 1) | (is_eob == 1), -1, lval)
+    pend_lit = jnp.where(is_len == 1, length_val, 0)
+
+    # dist mode
+    dbase = d_aug & 0x7FFF
+    deb = (d_aug >> 15) & 0xF
+    dextra = (win >> d_len.astype(jnp.uint32)).astype(jnp.int32) & ((1 << deb) - 1)
+    dist_val = dbase + dextra
+    nxt_dist = (pos + d_len + deb) * 2 + _LIT
+    # dist-state emission: match token missing its length (filled from
+    # pending at chase time): dist in bits 16-31? keep dist only.
+    emit_dist = TOK_MATCH_BIT | dist_val  # length OR'd in during chase
+
+    nxt = jnp.stack([nxt_lit, nxt_dist], axis=1).reshape(-1)
+    emit = jnp.stack([emit_lit, emit_dist], axis=1).reshape(-1)
+    pend = jnp.stack([pend_lit, jnp.zeros_like(pend_lit)], axis=1).reshape(-1)
+    # No clipping: states past the stream (or the TERMINAL marker, -2) fall
+    # outside every cell's window, so their lanes simply go inactive.
+    return nxt, emit, pend
+
+
+def chase_cells(nxt, emit, pend, cell_entry, n_bits: int, slots: int,
+                max_steps: int | None = None, return_counts: bool = False):
+    """Cell-parallel chase with exact entry fixpoint.
+
+    Returns (tape (Cells, slots) int32, overflow flag ()).
+    """
+    num_cells = n_bits // CELL_BITS
+    t_nxt = nxt.reshape(num_cells, CELL_STATES)
+    t_emit = emit.reshape(num_cells, CELL_STATES)
+    t_pend = pend.reshape(num_cells, CELL_STATES)
+    base = jax.lax.broadcasted_iota(jnp.int32, (num_cells, 1), 0).reshape(-1) * CELL_STATES
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (num_cells, CELL_STATES), 1)
+    pinned = cell_entry >= 0
+    spec_entry = jnp.where(pinned, cell_entry, base)  # state-space entries
+
+    if max_steps is None:
+        max_steps = CELL_BITS + 1
+
+    def lane_lookup(table, s_local):
+        oh = lane_iota == s_local[:, None]
+        return jnp.sum(jnp.where(oh, table, 0), axis=1)
+
+    lane_ids = jnp.arange(num_cells)
+
+    def chase(entry_state, entry_pend, tape):
+        def cond(carry):
+            s, p, k, tp, cnt, any_active = carry
+            return any_active & (k < max_steps)
+
+        def body(carry):
+            s, p, k, tp, cnt, _ = carry
+            s_local = s - base
+            active = (s_local >= 0) & (s_local < CELL_STATES)
+            sl = jnp.clip(s_local, 0, CELL_STATES - 1)
+            nx = lane_lookup(t_nxt, sl)
+            em = lane_lookup(t_emit, sl)
+            pd = lane_lookup(t_pend, sl)
+            # Fill the match length from pending at the dist step.
+            em = jnp.where(em >= TOK_MATCH_BIT, em | (p << 16), em)
+            new_p = jnp.where(pd > 0, pd, p)
+            new_p = jnp.where(em >= TOK_MATCH_BIT, 0, new_p)
+            do_emit = active & (em >= 0)
+            if tp is not None:
+                slot = jnp.where(do_emit & (cnt < slots), cnt, slots + 1)
+                tp = tp.at[lane_ids, slot].set(
+                    jnp.where(do_emit, em, -1), mode="drop"
+                )
+            cnt = cnt + do_emit.astype(jnp.int32)
+            s2 = jnp.where(active, nx, s)
+            p2 = jnp.where(active, new_p, p)
+            s_local2 = s2 - base
+            still = (s_local2 >= 0) & (s_local2 < CELL_STATES)
+            return s2, p2, k + 1, tp, cnt, jnp.any(still)
+
+        cnt0 = jnp.zeros(num_cells, jnp.int32)
+        s, p, k, tp, cnt, _ = jax.lax.while_loop(
+            cond, body,
+            (entry_state, entry_pend, jnp.int32(0), tape, cnt0, jnp.bool_(True)),
+        )
+        return s, p, cnt, tp
+
+    # Fixpoint on (entry_state, entry_pend).
+    e_s = spec_entry
+    e_p = jnp.zeros(num_cells, jnp.int32)
+
+    def fix_cond(carry):
+        _, _, changed, it = carry
+        return changed & (it < num_cells + 2)
+
+    def fix_body(carry):
+        es, ep, _, it = carry
+        xs, xp, _, _ = chase(es, ep, None)
+        prev_s = jnp.concatenate([es[:1], xs[:-1]])
+        prev_p = jnp.concatenate([ep[:1], xp[:-1]])
+        ns = jnp.where(pinned, cell_entry, prev_s)
+        np_ = jnp.where(pinned, 0, prev_p)
+        changed = jnp.any((ns != es) | (np_ != ep))
+        return ns, np_, changed, it + 1
+
+    e_s, e_p, _, sweeps = jax.lax.while_loop(
+        fix_cond, fix_body, (e_s, e_p, jnp.bool_(True), jnp.int32(0))
+    )
+
+    tape0 = jnp.full((num_cells, slots + 1), -1, jnp.int32)
+    _, _, counts, tape = chase(e_s, e_p, tape0)
+    overflow = jnp.any(counts > slots)
+    if return_counts:
+        return tape[:, :slots], overflow, counts, sweeps
+    return tape[:, :slots], overflow, sweeps
+
+
+def resolve_tape_xla(tape, cell_block, block_out_base, out_size: int,
+                     stored_pos, stored_val):
+    """XLA fallback LZ77 resolver (fill-forward scan + parent doubling).
+
+    The production TPU path is the Pallas token kernel (ops.lz77_pallas);
+    this resolver keeps the pipeline correct everywhere else.
+    """
+    cells, slots = tape.shape
+    flat = tape.reshape(-1)
+    valid = flat >= 0
+    is_match = flat >= TOK_MATCH_BIT
+    mlen = (flat >> 16) & 0x3FFF
+    mdist = flat & 0xFFFF
+    out_len = jnp.where(is_match, mlen, jnp.where(valid, 1, 0)).astype(jnp.int32)
+
+    base = jnp.repeat(block_out_base[cell_block], slots)
+    cum = jnp.cumsum(out_len)
+    out_pos = base + cum - out_len
+
+    out_val = jnp.zeros(out_size + 1, jnp.int32)
+    lit_mask = valid & ~is_match
+    lit_tgt = jnp.where(lit_mask, out_pos, out_size)
+    out_val = out_val.at[lit_tgt].set(jnp.where(lit_mask, flat, 0), mode="drop")
+    # Marker array: dist at match starts, 0 at literal starts/stored bytes.
+    marker_val = jnp.where(is_match, mdist, 0)
+    marker_set = valid
+    mark_tgt = jnp.where(marker_set, out_pos, out_size)
+    m_dist = jnp.zeros(out_size + 1, jnp.int32)
+    m_dist = m_dist.at[mark_tgt].set(marker_val, mode="drop")
+    m_mark = jnp.zeros(out_size + 1, jnp.bool_)
+    m_mark = m_mark.at[mark_tgt].set(marker_set, mode="drop")
+    if stored_val.shape[0]:
+        out_val = out_val.at[stored_pos].set(stored_val.astype(jnp.int32), mode="drop")
+        m_dist = m_dist.at[stored_pos].set(0, mode="drop")
+        m_mark = m_mark.at[stored_pos].set(True, mode="drop")
+
+    # Fill-forward: each byte inherits the last marker at or before it.
+    def combine(a, b):
+        av, am = a
+        bv, bm = b
+        return jnp.where(bm, bv, av), am | bm
+
+    dist_ff, _ = jax.lax.associative_scan(combine, (m_dist, m_mark))
+    i = jnp.arange(out_size + 1, dtype=jnp.int32)
+    parent = jnp.where(dist_ff > 0, i - dist_ff, i)
+    parent = jnp.clip(parent, 0, out_size)
+
+    def dbl_cond(carry):
+        _, changed = carry
+        return changed
+
+    def dbl_body(carry):
+        p, _ = carry
+        p2 = p[p]
+        return p2, jnp.any(p2 != p)
+
+    parent, _ = jax.lax.while_loop(dbl_cond, dbl_body, (parent, jnp.bool_(True)))
+    return out_val[parent][:out_size].astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("n_bits", "slots", "out_size"))
+def _inflate_v3_jit(arrays, n_bits, slots, out_size):
+    nxt, emit, pend = build_graph_v3(arrays, n_bits)
+    tape, overflow, sweeps = chase_cells(
+        nxt, emit, pend, arrays["cell_entry"], n_bits, slots
+    )
+    out = resolve_tape_xla(
+        tape, arrays["cell_block"], arrays["block_out_base"], out_size,
+        arrays["stored_pos"], arrays["stored_val"],
+    )
+    return out, overflow, sweeps
+
+
+def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS) -> bytes:
+    """Full v3 device inflate of one raw DEFLATE stream."""
+    from debigulator_tpu.ops.scanner import scan_stream
+
+    blocks, lengths = scan_stream(data)
+    plan = build_plan_v3(data, blocks, lengths, slots=slots)
+    if plan.first_state == TERMINAL:  # stored-only stream
+        out = np.zeros(plan.out_size, np.uint8)
+        out[plan.stored_pos] = plan.stored_val
+        return out.tobytes()
+    arrays = plan_arrays_v3(plan)
+    out_pad = _round_pow2(max(plan.out_size, 1), 256)
+    out, overflow, sweeps = _inflate_v3_jit(arrays, plan.n_bits, plan.slots, out_pad)
+    if bool(overflow):
+        # Rare dense-stream case: retry with the exact per-cell bound.
+        out, overflow, sweeps = _inflate_v3_jit(
+            arrays, plan.n_bits, CELL_BITS + 1, out_pad
+        )
+        assert not bool(overflow)
+    return np.asarray(out[: plan.out_size]).tobytes()
