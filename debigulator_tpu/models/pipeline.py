@@ -19,7 +19,7 @@ from debigulator_tpu.models import png_codec
 from debigulator_tpu.models.gzip_codec import GzipError, _parse_header
 from debigulator_tpu.models.zlib_codec import parse_zlib_header
 from debigulator_tpu.ops import checksum as ck
-from debigulator_tpu.ops.inflate_device import inflate_device
+from debigulator_tpu.ops.inflate_v3 import inflate_device_v3 as inflate_device
 from debigulator_tpu.ops.unfilter_device import unfilter_device
 
 

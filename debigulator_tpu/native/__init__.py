@@ -59,6 +59,9 @@ def get_lib():
         ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
     ]
     lib.dbg_crc32.restype = ctypes.c_uint32
     lib.dbg_crc32.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32]

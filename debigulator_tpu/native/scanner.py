@@ -27,7 +27,7 @@ def available() -> bool:
     return get_lib() is not None
 
 
-def _scan_raw(data: bytes, produce_output: bool):
+def _scan_raw(data: bytes, produce_output: bool, cell_bits: int = 0):
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable")
@@ -42,6 +42,16 @@ def _scan_raw(data: bytes, produce_output: bool):
         # generous heuristic and retry on -3.
         out_cap = max(1024, len(data) * 4)
     out_size = ctypes.c_uint64(0)
+    cell_states = cell_pend = None
+    cs_ptr = cp_ptr = None
+    max_cells = 0
+    n_cells = ctypes.c_int64(0)
+    if cell_bits:
+        max_cells = (len(data) * 8) // cell_bits + max_blocks + 16
+        cell_states = np.zeros(max_cells, np.int64)
+        cell_pend = np.zeros(max_cells, np.int32)
+        cs_ptr = cell_states.ctypes.data_as(ctypes.c_void_p)
+        cp_ptr = cell_pend.ctypes.data_as(ctypes.c_void_p)
     while True:
         if produce_output:
             out_buf = np.zeros(out_cap, np.uint8)
@@ -55,6 +65,11 @@ def _scan_raw(data: bytes, produce_output: bool):
             out_ptr,
             out_cap,
             ctypes.byref(out_size),
+            cell_bits,
+            cs_ptr,
+            cp_ptr,
+            max_cells,
+            ctypes.byref(n_cells),
         )
         if nb == -3 and produce_output:
             out_cap *= 4
@@ -67,12 +82,20 @@ def _scan_raw(data: bytes, produce_output: bool):
         if nb < 0:
             raise InflateError(f"native scan failed (code {nb})")
         break
-    return int(nb), blocks, lengths, out_buf, int(out_size.value)
+    cells = None
+    if cell_bits:
+        cells = (cell_states[: n_cells.value], cell_pend[: n_cells.value])
+    return int(nb), blocks, lengths, out_buf, int(out_size.value), cells
 
 
-def scan_stream(data: bytes):
-    """Block index + per-block code lengths via native code (no output)."""
-    nb, blocks, lengths, _, _ = _scan_raw(data, produce_output=False)
+def scan_stream(data: bytes, cell_bits: int = 0):
+    """Block index + per-block code lengths via native code (no output).
+
+    With cell_bits > 0 also returns exact per-cell entry states (appended
+    as a third element): (blocks, lengths, (cell_states, cell_pend)).
+    """
+    nb, blocks, lengths, _, _, cells = _scan_raw(
+        data, produce_output=False, cell_bits=cell_bits)
     infos, lens = [], []
     for i in range(nb):
         r = blocks[i]
@@ -93,12 +116,14 @@ def scan_stream(data: bytes):
             ll = lengths[i * 320 : i * 320 + 288].copy()
             dd = lengths[i * 320 + 288 : i * 320 + 320].copy()
             lens.append((ll, dd))
+    if cell_bits:
+        return infos, lens, cells
     return infos, lens
 
 
 def inflate_native(data: bytes):
     """Full serial native inflate → (bytes, blocks)."""
-    nb, blocks, _, out_buf, out_size = _scan_raw(data, produce_output=True)
+    nb, blocks, _, out_buf, out_size, _ = _scan_raw(data, produce_output=True)
     infos = []
     for i in range(nb):
         r = blocks[i]

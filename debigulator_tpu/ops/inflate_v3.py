@@ -94,6 +94,10 @@ class PlanV3:
     stored_pos: np.ndarray
     stored_val: np.ndarray
     slots: int
+    #: True when cell_entry/cell_pend hold exact scanner-recorded entries
+    #: for every cell (no fixpoint needed); False = speculative mode.
+    exact_entries: bool = False
+    cell_pend: np.ndarray | None = None
 
 
 def _augment_litlen(syms: np.ndarray, nsyms: int) -> np.ndarray:
@@ -130,7 +134,7 @@ def _augment_dist(syms: np.ndarray) -> np.ndarray:
 
 
 def build_plan_v3(data: bytes, blocks: list[BlockInfo], block_lengths,
-                  slots: int = DEFAULT_SLOTS) -> PlanV3:
+                  slots: int = DEFAULT_SLOTS, cells=None) -> PlanV3:
     buf = np.frombuffer(memoryview(data), np.uint8)
     src64 = np.zeros(len(buf) + 16, np.uint8)
     src64[: len(buf)] = buf
@@ -214,6 +218,8 @@ def build_plan_v3(data: bytes, blocks: list[BlockInfo], block_lengths,
     num_cells = n_bits // CELL_BITS
     cell_block = np.zeros(num_cells, np.int32)
     cell_entry = np.full(num_cells, -1, np.int32)
+    cell_pend = np.zeros(num_cells, np.int32)
+    exact = False
     for b in comp_blocks:
         info = blocks[b]
         nbits_b = info.end_bit - info.data_start_bit
@@ -221,6 +227,15 @@ def build_plan_v3(data: bytes, blocks: list[BlockInfo], block_lengths,
         c0 = int(vbase[b]) // CELL_BITS
         cell_block[c0 : c0 + ncells] = b
         cell_entry[c0] = int(vbase[b]) * 2 + _LIT
+    if cells is not None:
+        # Exact scanner-recorded entries: one per used cell; -1 = no code
+        # starts in the cell (its lane stays inactive).
+        states, pends = cells
+        exact = True
+        used = len(states)
+        cell_entry[:used] = states.astype(np.int64)
+        cell_entry[used:] = -1
+        cell_pend[:used] = pends
 
     return PlanV3(
         vbytes=vbytes,
@@ -245,6 +260,8 @@ def build_plan_v3(data: bytes, blocks: list[BlockInfo], block_lengths,
         stored_val=(np.concatenate(stored_val_parts) if stored_val_parts
                     else np.zeros(0, np.uint8)),
         slots=slots,
+        exact_entries=exact,
+        cell_pend=cell_pend,
     )
 
 
@@ -253,6 +270,11 @@ def plan_arrays_v3(plan: PlanV3) -> dict:
         "vbytes": jnp.asarray(plan.vbytes),
         "cell_block": jnp.asarray(plan.cell_block),
         "cell_entry": jnp.asarray(plan.cell_entry),
+        "cell_pend": jnp.asarray(
+            plan.cell_pend
+            if plan.cell_pend is not None
+            else np.zeros(plan.num_cells, np.int32)
+        ),
         "ll_count": jnp.asarray(plan.ll_count),
         "ll_first": jnp.asarray(plan.ll_first),
         "ll_base": jnp.asarray(plan.ll_base),
@@ -363,7 +385,8 @@ def build_graph_v3(arrays, n_bits: int):
 
 
 def chase_cells(nxt, emit, pend, cell_entry, n_bits: int, slots: int,
-                max_steps: int | None = None, return_counts: bool = False):
+                max_steps: int | None = None, return_counts: bool = False,
+                exact: bool = False, cell_pend=None):
     """Cell-parallel chase with exact entry fixpoint.
 
     Returns (tape (Cells, slots) int32, overflow flag ()).
@@ -423,27 +446,34 @@ def chase_cells(nxt, emit, pend, cell_entry, n_bits: int, slots: int,
         )
         return s, p, cnt, tp
 
-    # Fixpoint on (entry_state, entry_pend).
-    e_s = spec_entry
-    e_p = jnp.zeros(num_cells, jnp.int32)
+    if exact:
+        # Scanner-recorded exact entries: no fixpoint at all.  cell_entry
+        # == -1 marks cells where no code starts (s_local < 0 → inactive).
+        e_s = cell_entry
+        e_p = cell_pend if cell_pend is not None else jnp.zeros(num_cells, jnp.int32)
+        sweeps = jnp.int32(0)
+    else:
+        # Speculative fixpoint on (entry_state, entry_pend).
+        e_s = spec_entry
+        e_p = jnp.zeros(num_cells, jnp.int32)
 
-    def fix_cond(carry):
-        _, _, changed, it = carry
-        return changed & (it < num_cells + 2)
+        def fix_cond(carry):
+            _, _, changed, it = carry
+            return changed & (it < num_cells + 2)
 
-    def fix_body(carry):
-        es, ep, _, it = carry
-        xs, xp, _, _ = chase(es, ep, None)
-        prev_s = jnp.concatenate([es[:1], xs[:-1]])
-        prev_p = jnp.concatenate([ep[:1], xp[:-1]])
-        ns = jnp.where(pinned, cell_entry, prev_s)
-        np_ = jnp.where(pinned, 0, prev_p)
-        changed = jnp.any((ns != es) | (np_ != ep))
-        return ns, np_, changed, it + 1
+        def fix_body(carry):
+            es, ep, _, it = carry
+            xs, xp, _, _ = chase(es, ep, None)
+            prev_s = jnp.concatenate([es[:1], xs[:-1]])
+            prev_p = jnp.concatenate([ep[:1], xp[:-1]])
+            ns = jnp.where(pinned, cell_entry, prev_s)
+            np_ = jnp.where(pinned, 0, prev_p)
+            changed = jnp.any((ns != es) | (np_ != ep))
+            return ns, np_, changed, it + 1
 
-    e_s, e_p, _, sweeps = jax.lax.while_loop(
-        fix_cond, fix_body, (e_s, e_p, jnp.bool_(True), jnp.int32(0))
-    )
+        e_s, e_p, _, sweeps = jax.lax.while_loop(
+            fix_cond, fix_body, (e_s, e_p, jnp.bool_(True), jnp.int32(0))
+        )
 
     tape0 = jnp.full((num_cells, slots + 1), -1, jnp.int32)
     _, _, counts, tape = chase(e_s, e_p, tape0)
@@ -513,11 +543,14 @@ def resolve_tape_xla(tape, cell_block, block_out_base, out_size: int,
     return out_val[parent][:out_size].astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("n_bits", "slots", "out_size"))
-def _inflate_v3_jit(arrays, n_bits, slots, out_size):
+@functools.partial(
+    jax.jit, static_argnames=("n_bits", "slots", "out_size", "exact")
+)
+def _inflate_v3_jit(arrays, n_bits, slots, out_size, exact=False):
     nxt, emit, pend = build_graph_v3(arrays, n_bits)
     tape, overflow, sweeps = chase_cells(
-        nxt, emit, pend, arrays["cell_entry"], n_bits, slots
+        nxt, emit, pend, arrays["cell_entry"], n_bits, slots,
+        exact=exact, cell_pend=arrays["cell_pend"],
     )
     out = resolve_tape_xla(
         tape, arrays["cell_block"], arrays["block_out_base"], out_size,
@@ -526,23 +559,68 @@ def _inflate_v3_jit(arrays, n_bits, slots, out_size):
     return out, overflow, sweeps
 
 
-def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS) -> bytes:
-    """Full v3 device inflate of one raw DEFLATE stream."""
-    from debigulator_tpu.ops.scanner import scan_stream
+@functools.partial(jax.jit, static_argnames=("n_bits", "slots", "exact"))
+def _tape_v3_jit(arrays, n_bits, slots, exact=False):
+    """Phase A only: decode graph + chase → (tape, overflow, counts)."""
+    nxt, emit, pend = build_graph_v3(arrays, n_bits)
+    tape, overflow, counts, sweeps = chase_cells(
+        nxt, emit, pend, arrays["cell_entry"], n_bits, slots,
+        return_counts=True, exact=exact, cell_pend=arrays["cell_pend"],
+    )
+    return tape, overflow, counts, sweeps
 
-    blocks, lengths = scan_stream(data)
-    plan = build_plan_v3(data, blocks, lengths, slots=slots)
+
+def _use_pallas() -> bool:
+    import jax
+
+    from debigulator_tpu.utils.config import get_config
+
+    if not get_config().use_pallas_lz77:
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS,
+                      force_pallas: bool | None = None) -> bytes:
+    """Full v3 device inflate of one raw DEFLATE stream."""
+    from debigulator_tpu.ops.scanner import scan_stream_cells
+
+    blocks, lengths, cells = scan_stream_cells(data, CELL_BITS)
+    plan = build_plan_v3(data, blocks, lengths, slots=slots, cells=cells)
     if plan.first_state == TERMINAL:  # stored-only stream
         out = np.zeros(plan.out_size, np.uint8)
         out[plan.stored_pos] = plan.stored_val
         return out.tobytes()
     arrays = plan_arrays_v3(plan)
+    exact = plan.exact_entries
+    use_pallas = (
+        force_pallas
+        if force_pallas is not None
+        else (_use_pallas() and plan.stored_pos.shape[0] == 0)
+    )
+    if use_pallas:
+        from debigulator_tpu.ops import lz77_pallas as lz
+
+        tape, overflow, counts, sweeps = _tape_v3_jit(
+            arrays, plan.n_bits, plan.slots, exact=exact
+        )
+        if bool(overflow):
+            tape, overflow, counts, sweeps = _tape_v3_jit(
+                arrays, plan.n_bits, CELL_BITS + 1, exact=exact
+            )
+            assert not bool(overflow)
+        out = lz.resolve_tape_pallas(
+            np.asarray(tape), np.asarray(counts), plan.out_size
+        )
+        return out.tobytes()
     out_pad = _round_pow2(max(plan.out_size, 1), 256)
-    out, overflow, sweeps = _inflate_v3_jit(arrays, plan.n_bits, plan.slots, out_pad)
+    out, overflow, sweeps = _inflate_v3_jit(
+        arrays, plan.n_bits, plan.slots, out_pad, exact=exact
+    )
     if bool(overflow):
         # Rare dense-stream case: retry with the exact per-cell bound.
         out, overflow, sweeps = _inflate_v3_jit(
-            arrays, plan.n_bits, CELL_BITS + 1, out_pad
+            arrays, plan.n_bits, CELL_BITS + 1, out_pad, exact=exact
         )
         assert not bool(overflow)
     return np.asarray(out[: plan.out_size]).tobytes()

@@ -53,6 +53,21 @@ def scan_stream(data) -> tuple[list[BlockInfo], list]:
     return _scan_stream_py(data)
 
 
+def scan_stream_cells(data, cell_bits: int):
+    """Index + exact per-cell decoder entry states (native fast path).
+
+    Returns (blocks, lengths, cells) with cells = (states int64 array,
+    pend int32 array) in the virtual cell layout of inflate_v3, or
+    cells=None when the native scanner is unavailable (callers then fall
+    back to the speculative entry fixpoint).
+    """
+    native = _get_native()
+    if native is not None:
+        return native.scan_stream(bytes(memoryview(data)), cell_bits=cell_bits)
+    blocks, lengths = _scan_stream_py(data)
+    return blocks, lengths, None
+
+
 def _scan_stream_py(data) -> tuple[list[BlockInfo], list]:
     _, blocks = inflate(data)
     lengths: list = []

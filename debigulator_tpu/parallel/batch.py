@@ -1,10 +1,10 @@
-"""Data-parallel batch decode over a device mesh.
+"""Data-parallel batch decode over a device mesh (v3 engine).
 
 The unit of DP is an independent DEFLATE stream (gzip member, PNG IDAT,
-corpus file).  Host plans are padded to common bucket shapes, stacked on a
-leading batch axis, sharded ``P("dp")`` and decoded with the vmapped
-single-stream pipeline inside ``shard_map`` — outputs gather in stream
-order (SURVEY §2.11).
+corpus file).  Host plans (exact scanner entries, rebased virtual streams)
+are padded to common bucket shapes, stacked on a leading batch axis,
+sharded ``P("dp")`` and decoded with the vmapped v3 pipeline inside
+``shard_map`` — outputs gather in stream order (SURVEY §2.11).
 
 Sequence parallelism (one giant stream across devices) rides the same
 pipeline: Phase B's parent pointers are global, and the DEFLATE window
@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from debigulator_tpu.ops import inflate_device as dv
+from debigulator_tpu.ops import inflate_v3 as v3
 
 
 def _pad_to(arr: np.ndarray, shape: tuple[int, ...], fill=0) -> np.ndarray:
@@ -31,112 +31,111 @@ def _pad_to(arr: np.ndarray, shape: tuple[int, ...], fill=0) -> np.ndarray:
     return out
 
 
-def stack_plans(plans: list[dv.StreamPlan]) -> tuple[dict, dict]:
-    """Pad + stack per-stream plans into batched arrays.
-
-    Returns (batched host arrays, static dims).  All streams share the
-    padded static dims (max over batch, rounded to pow2 buckets).
-    """
+def stack_plans(plans: list[v3.PlanV3]) -> tuple[dict, dict]:
+    """Pad + stack per-stream v3 plans into batched arrays."""
     nb_max = max(p.ll_count.shape[0] for p in plans)
-    nbytes_max = max(p.data.shape[0] for p in plans)
-    n_bits = nbytes_max * 8
-    max_symbols = max(p.max_symbols for p in plans)
-    out_max = dv._round_pow2(max(max(p.out_size, 1) for p in plans), 1 << 8)
+    n_bits = max(p.n_bits for p in plans)
+    cells_max = n_bits // v3.CELL_BITS
+    nbytes = n_bits // 8 + 16
+    out_max = v3._round_pow2(max(max(p.out_size, 1) for p in plans), 1 << 8)
     stored_max = max(1, max(p.stored_pos.shape[0] for p in plans))
+    slots = max(p.slots for p in plans)
+    assert all(p.exact_entries for p in plans), "batch path needs exact entries"
 
     def stk(get, shape, fill=0):
         return np.stack([_pad_to(get(p), shape, fill) for p in plans])
 
     batched = {
-        "data": stk(lambda p: p.data, (nbytes_max,)),
+        "vbytes": stk(lambda p: p.vbytes, (nbytes,)),
+        "cell_block": stk(lambda p: p.cell_block, (cells_max,)),
+        "cell_entry": stk(lambda p: p.cell_entry, (cells_max,), fill=-1),
+        "cell_pend": stk(lambda p: p.cell_pend, (cells_max,)),
         "ll_count": stk(lambda p: p.ll_count, (nb_max, 16)),
         "ll_first": stk(lambda p: p.ll_first, (nb_max, 16)),
         "ll_base": stk(lambda p: p.ll_base, (nb_max, 16)),
-        "ll_syms_flat": stk(lambda p: p.ll_syms.reshape(-1), (nb_max * 288,)),
+        "ll_aug_flat": stk(lambda p: p.ll_aug.reshape(-1), (nb_max * 288,)),
         "d_count": stk(lambda p: p.d_count, (nb_max, 16)),
         "d_first": stk(lambda p: p.d_first, (nb_max, 16)),
         "d_base": stk(lambda p: p.d_base, (nb_max, 16)),
-        "d_syms_flat": stk(lambda p: p.d_syms.reshape(-1), (nb_max * 32,)),
-        "block_data_start": stk(lambda p: p.block_data_start, (nb_max,)),
-        # Pad block_end with n_bits so searchsorted maps padded blocks last.
-        "block_end": stk(lambda p: p.block_end, (nb_max,), fill=n_bits),
-        "block_next_entry": stk(lambda p: p.block_next_entry, (nb_max,), fill=1),
+        "d_aug_flat": stk(lambda p: p.d_aug.reshape(-1), (nb_max * 32,)),
+        "block_next_entry": stk(
+            lambda p: p.block_next_entry, (nb_max,), fill=v3.TERMINAL
+        ),
         "block_out_base": stk(lambda p: p.block_out_base, (nb_max,)),
-        # Padded stored positions point past out_max → dropped by scatter.
         "stored_pos": stk(lambda p: p.stored_pos, (stored_max,), fill=out_max),
         "stored_val": stk(lambda p: p.stored_val, (stored_max,)),
-        "first_state": np.array([p.first_state for p in plans], np.int32),
-        "out_size": np.array([p.out_size for p in plans], np.int32),
     }
-    dims = {"n_bits": n_bits, "max_symbols": max_symbols, "out_size": out_max}
+    dims = {"n_bits": n_bits, "slots": slots, "out_size": out_max}
     return batched, dims
 
 
-def _inflate_one(arrays, n_bits: int, max_symbols: int, out_size: int):
-    """Single-stream core over already-device arrays (vmap-able)."""
-    nxt, emit = dv.build_decode_graph(arrays, n_bits)
-    seq = dv.materialize_orbit(nxt, arrays["first_state"], max_symbols)
-    emit_seq = emit[seq]
-    seq_block = jnp.clip(
-        jnp.searchsorted(arrays["block_end"], seq >> 1, side="right"),
-        0,
-        arrays["block_end"].shape[0] - 1,
-    ).astype(jnp.int32)
-    return dv.resolve_output(
-        emit_seq, seq_block, arrays["block_out_base"], out_size,
+def _inflate_one(arrays, n_bits: int, slots: int, out_size: int):
+    """Single-stream v3 core (vmap-able, exact entries)."""
+    nxt, emit, pend = v3.build_graph_v3(arrays, n_bits)
+    tape, overflow, sweeps = v3.chase_cells(
+        nxt, emit, pend, arrays["cell_entry"], n_bits, slots,
+        exact=True, cell_pend=arrays["cell_pend"],
+    )
+    out = v3.resolve_tape_xla(
+        tape, arrays["cell_block"], arrays["block_out_base"], out_size,
         arrays["stored_pos"], arrays["stored_val"],
     )
+    return out, overflow
 
 
-@functools.partial(jax.jit, static_argnames=("n_bits", "max_symbols", "out_size"))
-def batched_inflate(batched, n_bits: int, max_symbols: int, out_size: int):
+@functools.partial(jax.jit, static_argnames=("n_bits", "slots", "out_size"))
+def batched_inflate(batched, n_bits: int, slots: int, out_size: int):
     """vmapped batch decode (single device)."""
     fn = functools.partial(
-        _inflate_one, n_bits=n_bits, max_symbols=max_symbols, out_size=out_size
+        _inflate_one, n_bits=n_bits, slots=slots, out_size=out_size
     )
     return jax.vmap(fn)(batched)
 
 
-def sharded_inflate(mesh: Mesh, batched, dims, donate: bool = False):
-    """DP-sharded batch decode: batch axis over ``dp``, outputs in order.
-
-    Batch size must be divisible by the dp axis size (pad with empty
-    streams if needed).
-    """
+def sharded_inflate(mesh: Mesh, batched, dims):
+    """DP-sharded batch decode: batch axis over ``dp``, outputs in order."""
     dp = mesh.shape["dp"]
-    bsz = batched["data"].shape[0]
+    bsz = batched["vbytes"].shape[0]
     if bsz % dp:
         raise ValueError(f"batch {bsz} not divisible by dp={dp}")
     shard = NamedSharding(mesh, P("dp"))
     dev_batched = {k: jax.device_put(v, shard) for k, v in batched.items()}
 
-    @functools.partial(jax.jit, static_argnames=("n_bits", "max_symbols", "out_size"),
-                       out_shardings=shard)
-    def run(b, n_bits, max_symbols, out_size):
+    @functools.partial(
+        jax.jit, static_argnames=("n_bits", "slots", "out_size"),
+        out_shardings=(shard, shard),
+    )
+    def run(b, n_bits, slots, out_size):
         fn = functools.partial(
-            _inflate_one, n_bits=n_bits, max_symbols=max_symbols, out_size=out_size
+            _inflate_one, n_bits=n_bits, slots=slots, out_size=out_size
         )
         return jax.vmap(fn)(b)
 
-    return run(dev_batched, dims["n_bits"], dims["max_symbols"], dims["out_size"])
+    return run(dev_batched, dims["n_bits"], dims["slots"], dims["out_size"])
 
 
-def decode_batch_device(streams: list[bytes], mesh: Mesh | None = None):
-    """Decode a list of raw DEFLATE streams as one batched device call.
-
-    Returns list of bytes.  With a mesh, the batch shards over ``dp``.
-    """
-    from debigulator_tpu.ops.scanner import scan_stream
+def plan_streams(streams: list[bytes]) -> list[v3.PlanV3]:
+    from debigulator_tpu.ops.scanner import scan_stream_cells
 
     plans = []
     for s in streams:
-        blocks, lengths = scan_stream(s)
-        plans.append(dv.build_stream_plan(s, blocks, lengths))
+        blocks, lengths, cells = scan_stream_cells(s, v3.CELL_BITS)
+        if cells is None:
+            raise RuntimeError(
+                "batch decode requires the native scanner (exact entries)"
+            )
+        plans.append(v3.build_plan_v3(s, blocks, lengths, cells=cells))
+    return plans
+
+
+def decode_batch_device(streams: list[bytes], mesh: Mesh | None = None):
+    """Decode a list of raw DEFLATE streams as one batched device call."""
+    plans = plan_streams(streams)
     batched, dims = stack_plans(plans)
     if mesh is None:
-        out = batched_inflate(
+        out, overflow = batched_inflate(
             {k: jnp.asarray(v) for k, v in batched.items()},
-            dims["n_bits"], dims["max_symbols"], dims["out_size"],
+            dims["n_bits"], dims["slots"], dims["out_size"],
         )
     else:
         dp = mesh.shape["dp"]
@@ -145,7 +144,9 @@ def decode_batch_device(streams: list[bytes], mesh: Mesh | None = None):
             for k in list(batched):
                 reps = np.repeat(batched[k][-1:], pad, axis=0)
                 batched[k] = np.concatenate([batched[k], reps])
-        out = sharded_inflate(mesh, batched, dims)
+        out, overflow = sharded_inflate(mesh, batched, dims)
+    if bool(np.asarray(overflow).any()):
+        raise RuntimeError("tape overflow in batch decode (raise slots)")
     out_np = np.asarray(out)
     return [out_np[i, : plans[i].out_size].tobytes() for i in range(len(plans))]
 

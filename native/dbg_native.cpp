@@ -214,15 +214,51 @@ struct BlockRec {
 // If `output` is non-null (capacity out_cap), also produce decompressed
 // bytes (full serial inflate).  Returns number of blocks, or -1 on error,
 // -2 if block capacity exceeded, -3 if output capacity exceeded.
+//
+// Cell-entry recording (cell_bits > 0): for every `cell_bits`-sized cell of
+// the *virtually rebased* stream (each compressed block bit-aligned to a
+// cell boundary, matching ops/inflate_v3.build_plan_v3), record the exact
+// decoder state at the first code starting in that cell:
+//   cell_states[i] = local_bit_offset*2 + mode (0 litlen / 1 dist), or -1
+//   if no code starts in the cell; cell_pend[i] = pending match length at a
+//   dist-mode entry.  This removes any need for speculative entry fixpoints
+//   on the device — entries are exact by construction.
 int64_t dbg_scan(const uint8_t* data, uint64_t size,
                  BlockRec* blocks, int64_t max_blocks,
                  int32_t* lengths_buf,  // max_blocks * 320
                  uint8_t* output, uint64_t out_cap,
-                 uint64_t* out_size_ret) {
+                 uint64_t* out_size_ret,
+                 int64_t cell_bits,
+                 int64_t* cell_states, int32_t* cell_pend,
+                 int64_t max_cells, int64_t* n_cells_ret) {
   BitReader br{data, size, 0, false};
   int64_t nb = 0;
   uint64_t out_at = 0;
   const bool produce = output != nullptr;
+  const bool cells = cell_bits > 0 && cell_states != nullptr;
+  int64_t cell_base = 0;   // global cell index of current block's cell 0
+  int64_t cell_filled = 0; // cells recorded so far (global)
+
+  // Record the state at a code start: fill any newly entered cells.
+  auto record = [&](uint64_t block_data_start, int mode, int32_t pending) -> int {
+    if (!cells) return 0;
+    uint64_t voff = br.bitpos - block_data_start;
+    int64_t vcell = cell_base + (int64_t)(voff / (uint64_t)cell_bits);
+    if (vcell >= max_cells) return -4;
+    while (cell_filled < vcell) {  // cells with no code start
+      cell_states[cell_filled] = -1;
+      cell_pend[cell_filled] = 0;
+      cell_filled++;
+    }
+    if (cell_filled == vcell) {
+      // Global virtual state: block's virtual base + local offset.
+      cell_states[cell_filled] =
+          ((int64_t)cell_base * cell_bits + (int64_t)voff) * 2 + mode;
+      cell_pend[cell_filled] = pending;
+      cell_filled++;
+    }
+    return 0;
+  };
   for (;;) {
     if (nb >= max_blocks) return -2;
     BlockRec& rec = blocks[nb];
@@ -264,8 +300,10 @@ int64_t dbg_scan(const uint8_t* data, uint64_t size,
       if (!lt.ok || !dt.ok) return -1;
       rec.data_start_bit = br.bitpos;
       rec.out_start = out_at;
+      const uint64_t ds = br.bitpos;
       for (;;) {
         if (br.overrun || br.bitpos > size * 8) return -1;
+        if (record(ds, 0, 0) < 0) return -4;
         int sym = decode_sym(br, lt);
         if (sym < 0) return -1;
         if (sym < 256) {
@@ -280,6 +318,7 @@ int64_t dbg_scan(const uint8_t* data, uint64_t size,
           if (sym > 285) return -1;
           int li = sym - 257;
           uint32_t length = kLenBase[li] + br.bits(kLenExtra[li]);
+          if (record(ds, 1, (int32_t)length) < 0) return -4;
           int dsym = decode_sym(br, dt);
           if (dsym < 0 || dsym > 29) return -1;
           uint32_t dist = kDistBase[dsym] + br.bits(kDistExtra[dsym]);
@@ -295,6 +334,19 @@ int64_t dbg_scan(const uint8_t* data, uint64_t size,
       }
       rec.end_bit = br.bitpos;
       rec.out_size = out_at - rec.out_start;
+      if (cells) {
+        // Close this block's cell range: pad symbol-free tail cells.
+        uint64_t nbits = rec.end_bit - rec.data_start_bit;
+        int64_t ncells = (int64_t)((nbits + cell_bits - 1) / cell_bits);
+        if (ncells < 1) ncells = 1;
+        if (cell_base + ncells > max_cells) return -4;
+        while (cell_filled < cell_base + ncells) {
+          cell_states[cell_filled] = -1;
+          cell_pend[cell_filled] = 0;
+          cell_filled++;
+        }
+        cell_base += ncells;
+      }
     } else {
       return -1;
     }
@@ -302,6 +354,7 @@ int64_t dbg_scan(const uint8_t* data, uint64_t size,
     if (rec.bfinal) break;
   }
   if (out_size_ret) *out_size_ret = out_at;
+  if (n_cells_ret) *n_cells_ret = cell_filled;
   return nb;
 }
 

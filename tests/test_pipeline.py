@@ -1,0 +1,40 @@
+"""End-to-end device pipeline (v3 inflate + device unfilter) on CPU backend."""
+
+import gzip as pygzip
+import hashlib
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from debigulator_tpu.models import pipeline
+
+GOLDEN = json.loads((pathlib.Path(__file__).parent / "golden_png.json").read_text())
+
+
+def test_gzip_device_roundtrip():
+    data = b"pipeline end to end " * 200
+    blob = pygzip.compress(data)
+    assert pipeline.decode_gzip_device(blob) == data
+
+
+def test_gzip_device_corpus(corpus_dir):
+    raw = (corpus_dir / "gzipsample.gz").read_bytes()
+    assert pipeline.decode_gzip_device(raw) == pygzip.decompress(raw)
+
+
+@pytest.mark.parametrize("name", ["structuredart1", "font"])
+def test_png_device_corpus(name, corpus_dir):
+    data = (corpus_dir / f"{name}.png").read_bytes()
+    rgba = pipeline.decode_png_device(data)
+    assert hashlib.sha256(rgba.tobytes()).hexdigest() == GOLDEN[name]["sha256"]
+
+
+def test_decode_corpus_error_isolation(tmp_path, corpus_dir):
+    good = corpus_dir / "structuredart1.png"
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"not a png")
+    results = pipeline.decode_corpus([good, bad])
+    assert results[0].good and results[0].data.shape == (10, 10, 4)
+    assert not results[1].good and "PngError" in results[1].error
