@@ -2,16 +2,22 @@
 byte-copy loop (reference inflate.c:1861-1897) and for XLA's serial
 scatter/gather (~7.5 ns/element on v5e — measured).
 
-One kernel walks the token tape sequentially (cells are already in stream
-order) keeping the output cursor in scratch, with the whole output window
-resident in VMEM:
+Mosaic constraints shape the kernel (verified on-chip): VMEM vector
+accesses must be 128-lane aligned, but dynamic *sublane* (row) indexing
+and dynamic lane *rotation* (``pltpu.roll``) are supported.  So the output
+lives as (rows, 128) int32 with one byte per element, and every
+byte-granular span access is an aligned 4-row load/store plus a roll:
 
-* a cell whose tokens are all literals commits them as one masked
-  vector write at the cursor (fast path — literal-dominant data streams
-  at vector speed);
-* matches are masked 258-wide block copies; overlapping copies
-  (dist < len, the RLE case) grow the pattern by doubling — ≤9 rounds
-  instead of the reference's byte loop.
+  span[i, j] = A[i + (j+r >= 128), (j+r) % 128]         (load, r = p & 127)
+  A'[i, k]   = M[i - (k < r), (k-r) % 128]              (store-merge back)
+
+One kernel walks the token tape sequentially (cells are already in stream
+order) keeping the output cursor in SMEM scratch:
+
+* a cell whose tokens are all literals commits them as one masked span
+  store at the cursor (fast path);
+* matches are span copies; overlapping copies (dist < len, the RLE case)
+  grow the pattern by doubling — ≤9 rounds instead of a byte loop.
 
 Cross-launch windows: the caller chains launches for outputs larger than
 the VMEM budget, passing the previous launch's 32 KiB tail (the DEFLATE
@@ -29,27 +35,75 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 WINDOW = 32768
+WINDOW_ROWS = WINDOW // 128
 MAXLEN = 258
-#: Max output bytes per launch (int32-per-byte in VMEM; keep well under 16 MB).
-OUT_CAP = 2 * 1024 * 1024
+SPAN_ROWS = 4  # rows loaded per span: covers r + 258 + slack
+VAL_ROWS = 3  # rows of payload in a span (384 bytes ≥ 258 + 127)
+
+#: Max output bytes per launch (int32-per-byte in VMEM).
+OUT_CAP = 1536 * 1024
+#: Max cells per launch (counts live in SMEM).
+CELL_CAP = 8192
 
 TOK_MATCH_BIT = 1 << 30
 
+_IOTA_LANE3 = None  # built lazily inside kernels
+
+
+def _span_flat_iota():
+    i = jax.lax.broadcasted_iota(jnp.int32, (VAL_ROWS, 128), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (VAL_ROWS, 128), 1)
+    return i * 128 + j
+
+
+def _load_span(out_ref, p):
+    """(VAL_ROWS,128) int32 = output bytes [p, p+384)."""
+    row = p >> 7
+    r = p & 127
+    a = out_ref[pl.ds(row, SPAN_ROWS), :]
+    ar = pltpu.roll(a, -r, axis=1)
+    nxt = jnp.concatenate([ar[1:], ar[:1]], axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SPAN_ROWS, 128), 1)
+    s = jnp.where(lane < 128 - r, ar, nxt)
+    return s[:VAL_ROWS]
+
+
+def _store_span(out_ref, p, vals, nvalid):
+    """Write vals[f] for f < nvalid into output bytes [p, p+nvalid)."""
+    row = p >> 7
+    r = p & 127
+    a = out_ref[pl.ds(row, SPAN_ROWS), :]
+    # Current span view (same math as _load_span, all 4 rows).
+    ar = pltpu.roll(a, -r, axis=1)
+    nxt = jnp.concatenate([ar[1:], ar[:1]], axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SPAN_ROWS, 128), 1)
+    s = jnp.where(lane < 128 - r, ar, nxt)
+    # Merge payload.
+    flat = _span_flat_iota()
+    merged3 = jnp.where(flat < nvalid, vals, s[:VAL_ROWS])
+    m = jnp.concatenate([merged3, s[VAL_ROWS:]], axis=0)
+    # Invert: A'[i,k] = M[i - (k<r), (k-r) % 128].
+    mr = pltpu.roll(m, r, axis=1)
+    mshift = jnp.concatenate([mr[-1:], mr[:-1]], axis=0)
+    a2 = jnp.where(lane >= r, mr, mshift)
+    out_ref[pl.ds(row, SPAN_ROWS), :] = a2
+
+
+def _extract(row_vec, j):
+    """Scalar element j of a (1,128) vector via one-hot reduce."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    return jnp.sum(jnp.where(iota == j, row_vec, 0))
+
 
 def _lz77_kernel(counts_ref, tape_ref, tail_ref, out_ref, cur_ref):
-    """Single-grid-step kernel: all cells of this launch.
-
-    counts_ref: (num_cells,) int32 valid tokens per cell (SMEM).
-    tape_ref:   (num_cells, slots) int32 packed tokens (VMEM).
-    tail_ref:   (WINDOW,) int32 previous-launch tail (VMEM).
-    out_ref:    (WINDOW + OUT,) int32 output incl. prologue (VMEM).
-    cur_ref:    (1,) int32 scratch cursor (SMEM).
-    """
-    num_cells, slots = tape_ref.shape
-    iota_len = jax.lax.broadcasted_iota(jnp.int32, (1, MAXLEN), 1)
+    """counts_ref: (cells,) SMEM; tape_ref: (cells,128) VMEM packed tokens;
+    tail_ref: (WINDOW_ROWS,128) VMEM; out_ref: (rows,128) VMEM;
+    cur_ref: (1,) SMEM cursor."""
+    num_cells = counts_ref.shape[0]
+    slots = tape_ref.shape[1]
     iota_slots = jax.lax.broadcasted_iota(jnp.int32, (1, slots), 1)
 
-    out_ref[pl.ds(0, WINDOW)] = tail_ref[:]
+    out_ref[pl.ds(0, WINDOW_ROWS), :] = tail_ref[:]
     cur_ref[0] = WINDOW
 
     def per_cell(c, _):
@@ -57,16 +111,19 @@ def _lz77_kernel(counts_ref, tape_ref, tail_ref, out_ref, cur_ref):
 
         @pl.when(cnt > 0)
         def _():
-            row = tape_ref[c, :].reshape(1, slots)
-            any_match = jnp.any((row >= TOK_MATCH_BIT) & (iota_slots < cnt))
+            row = tape_ref[pl.ds(c, 1), :]  # (1, slots)
+            valid = iota_slots < cnt
+            any_match = jnp.any((row >= TOK_MATCH_BIT) & valid)
             cur = cur_ref[0]
 
             @pl.when(jnp.logical_not(any_match))
             def _fast():
-                # All-literal cell: one masked vector commit.
-                existing = out_ref[pl.ds(cur, slots)].reshape(1, slots)
-                vals = jnp.where(iota_slots < cnt, row, existing)
-                out_ref[pl.ds(cur, slots)] = vals.reshape(slots)
+                # All-literal cell: one masked span commit.
+                vals = jnp.concatenate(
+                    [row & 0x1FF, jnp.zeros((VAL_ROWS - 1, slots), jnp.int32)],
+                    axis=0,
+                )
+                _store_span(out_ref, cur, vals, cnt)
                 cur_ref[0] = cur + cnt
 
             @pl.when(any_match)
@@ -74,14 +131,14 @@ def _lz77_kernel(counts_ref, tape_ref, tail_ref, out_ref, cur_ref):
                 def per_tok(j, _):
                     @pl.when(j < cnt)
                     def _():
-                        e = tape_ref[c, j]
+                        e = _extract(row, j)
                         cur = cur_ref[0]
                         is_match = e >= TOK_MATCH_BIT
 
                         @pl.when(jnp.logical_not(is_match))
                         def _lit():
-                            existing = out_ref[pl.ds(cur, 1)]
-                            out_ref[pl.ds(cur, 1)] = jnp.full((1,), e & 0x1FF, jnp.int32)
+                            vals = jnp.full((VAL_ROWS, 128), e & 0x1FF, jnp.int32)
+                            _store_span(out_ref, cur, vals, 1)
                             cur_ref[0] = cur + 1
 
                         @pl.when(is_match)
@@ -92,30 +149,25 @@ def _lz77_kernel(counts_ref, tape_ref, tail_ref, out_ref, cur_ref):
 
                             @pl.when(dist >= length)
                             def _plain():
-                                data = out_ref[pl.ds(src, MAXLEN)].reshape(1, MAXLEN)
-                                existing = out_ref[pl.ds(cur, MAXLEN)].reshape(1, MAXLEN)
-                                merged = jnp.where(iota_len < length, data, existing)
-                                out_ref[pl.ds(cur, MAXLEN)] = merged.reshape(MAXLEN)
+                                data = _load_span(out_ref, src)
+                                _store_span(out_ref, cur, data, length)
 
                             @pl.when(dist < length)
                             def _overlap():
-                                # Seed `dist` bytes, then double the pattern.
-                                data = out_ref[pl.ds(src, MAXLEN)].reshape(1, MAXLEN)
-                                existing = out_ref[pl.ds(cur, MAXLEN)].reshape(1, MAXLEN)
                                 n0 = jnp.minimum(dist, length)
-                                out_ref[pl.ds(cur, MAXLEN)] = jnp.where(
-                                    iota_len < n0, data, existing
-                                ).reshape(MAXLEN)
+                                data = _load_span(out_ref, src)
+                                _store_span(out_ref, cur, data, n0)
 
                                 def grow(k, avail):
                                     @pl.when(avail < length)
                                     def _():
-                                        sdata = out_ref[pl.ds(cur, MAXLEN)].reshape(1, MAXLEN)
-                                        dst = out_ref[pl.ds(cur + avail, MAXLEN)].reshape(1, MAXLEN)
-                                        n_new = jnp.minimum(avail, length - avail)
-                                        out_ref[pl.ds(cur + avail, MAXLEN)] = jnp.where(
-                                            iota_len < n_new, sdata, dst
-                                        ).reshape(MAXLEN)
+                                        d2 = _load_span(out_ref, cur)
+                                        n_new = jnp.minimum(
+                                            avail, length - avail
+                                        )
+                                        _store_span(
+                                            out_ref, cur + avail, d2, n_new
+                                        )
                                     return jnp.minimum(avail * 2, length)
 
                                 jax.lax.fori_loop(0, 9, grow, n0)
@@ -131,83 +183,83 @@ def _lz77_kernel(counts_ref, tape_ref, tail_ref, out_ref, cur_ref):
     jax.lax.fori_loop(0, num_cells, per_cell, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("num_cells", "slots", "out_pad"))
-def lz77_resolve_launch(counts, tape, tail, num_cells: int, slots: int, out_pad: int):
-    """One launch: resolve ≤ out_pad output bytes; returns (WINDOW+out_pad,) i32."""
-    return pl.pallas_call(
-        _lz77_kernel,
-        out_shape=jax.ShapeDtypeStruct((WINDOW + out_pad + MAXLEN,), jnp.int32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
-    )(counts, tape, tail)
+def _make_launch(interpret: bool):
+    @functools.partial(
+        jax.jit, static_argnames=("num_cells", "slots", "out_rows")
+    )
+    def launch(counts, tape, tail, num_cells: int, slots: int, out_rows: int):
+        return pl.pallas_call(
+            _lz77_kernel,
+            out_shape=jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+            interpret=interpret,
+        )(counts, tape, tail)
+
+    return launch
+
+
+_launch_compiled = _make_launch(False)
+_launch_interpret = _make_launch(True)
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
 
 
 def resolve_tape_pallas(tape_np, counts_np, out_size: int,
-                        stored=None, interpret: bool = False) -> np.ndarray:
+                        interpret: bool = False) -> np.ndarray:
     """Host-orchestrated multi-launch resolve (chained 32 KiB tails).
 
-    tape_np: (Cells, slots) int32; counts_np: (Cells,) int32.
-    Note: stored-block bytes are currently injected by the caller between
-    launches (stored blocks split launches); returns (out_size,) uint8.
+    tape_np: (cells, slots) int32 packed tokens; counts_np: (cells,) int32.
+    Returns (out_size,) uint8.  Streams with stored blocks use the XLA
+    resolver instead (stored bytes are not in the tape).
     """
-    # Split cells into launches whose output fits OUT_CAP.
+    cells, slots = tape_np.shape
+    slots_p = _round_up(max(slots, 1), 128)
+    if slots_p != slots:
+        tape_np = np.pad(tape_np, ((0, 0), (0, slots_p - slots)),
+                         constant_values=-1)
     lens = np.where(
-        counts_np[:, None] > np.arange(tape_np.shape[1])[None, :],
+        counts_np[:, None] > np.arange(slots_p)[None, :],
         np.where(tape_np >= TOK_MATCH_BIT, (tape_np >> 16) & 0x3FFF, 1),
         0,
     ).sum(axis=1)
     cum = np.concatenate([[0], np.cumsum(lens)])
     total = int(cum[-1])
+    if total != out_size:
+        raise ValueError(f"tape output {total} != expected {out_size}")
+
+    launch = _launch_interpret if interpret else _launch_compiled
     outs = []
-    tail = np.zeros(WINDOW, np.int32)
+    tail = np.zeros((WINDOW_ROWS, 128), np.int32)
     c0 = 0
-    while c0 < len(lens):
-        # Greedy: take cells until OUT_CAP.
+    while c0 < cells:
         hi = int(np.searchsorted(cum, cum[c0] + OUT_CAP, side="right")) - 1
-        hi = max(hi, c0 + 1)
+        hi = min(max(hi, c0 + 1), c0 + CELL_CAP, cells)
         seg_out = int(cum[hi] - cum[c0])
         num_cells = hi - c0
-        out_pad = max(256, seg_out)
-        fn = lz77_resolve_launch
-        if interpret:
-            fn = _interpret_launch
+        out_rows = WINDOW_ROWS + _round_up(seg_out + MAXLEN + 512, 128) // 128
         buf = np.asarray(
-            fn(
+            launch(
                 jnp.asarray(counts_np[c0:hi]),
                 jnp.asarray(tape_np[c0:hi]),
                 jnp.asarray(tail),
                 num_cells=num_cells,
-                slots=tape_np.shape[1],
-                out_pad=out_pad,
+                slots=slots_p,
+                out_rows=out_rows,
             )
         )
-        outs.append(buf[WINDOW : WINDOW + seg_out])
-        full = np.concatenate([tail, buf[WINDOW : WINDOW + seg_out]])
-        tail = full[-WINDOW:]
+        flat = buf.reshape(-1)
+        outs.append(flat[WINDOW : WINDOW + seg_out])
+        full = np.concatenate([tail.reshape(-1), flat[WINDOW : WINDOW + seg_out]])
+        tail = full[-WINDOW:].reshape(WINDOW_ROWS, 128).astype(np.int32)
         c0 = hi
-    if total != out_size:
-        raise ValueError(f"tape output {total} != expected {out_size}")
     if outs:
         return np.concatenate(outs).astype(np.uint8)
     return np.zeros(0, np.uint8)
-
-
-@functools.partial(jax.jit, static_argnames=("num_cells", "slots", "out_pad"))
-def _interpret_launch(counts, tape, tail, num_cells: int, slots: int, out_pad: int):
-    return pl.pallas_call(
-        _lz77_kernel,
-        out_shape=jax.ShapeDtypeStruct((WINDOW + out_pad + MAXLEN,), jnp.int32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
-        interpret=True,
-    )(counts, tape, tail)
