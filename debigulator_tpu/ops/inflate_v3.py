@@ -317,6 +317,12 @@ def build_graph_v3(arrays, n_bits: int):
     cb = arrays["cell_block"]  # (Cells,)
     nbq = arrays["ll_count"].shape[0]
 
+    nb = arrays["ll_count"].shape[0]
+    #: Small-NB streams use the MXU one-hot lookup (materialize the
+    #: (N, table) one-hot once, then NB f32 mat-vecs — ~3-5x cheaper than
+    #: serial XLA gathers at 7.5 ns/element); large-NB streams gather.
+    use_onehot = nb <= 16
+
     def decode(count_t, first_t, base_t, aug_flat, aug_stride):
         # Per-cell params broadcast per position (free inside fusion).
         length = jnp.zeros((num_cells, CELL_BITS), jnp.int32)
@@ -333,8 +339,22 @@ def build_graph_v3(arrays, n_bits: int):
             offset = jnp.where(ok, bse + off_l, offset)
         unmatched = length == 0
         length = jnp.where(unmatched, C.MAX_BITS, length)
-        idx = cb[:, None] * aug_stride + offset
-        aug = aug_flat[idx.reshape(-1)]  # ← the one true gather
+        if use_onehot:
+            # aug[n] = Σ_k onehot(offset)[n,k] · aug_tab[block[n], k]
+            oh = (
+                offset.reshape(-1)[:, None]
+                == jnp.arange(aug_stride, dtype=jnp.int32)[None, :]
+            ).astype(jnp.float32)
+            tabs = aug_flat.reshape(nb, aug_stride).astype(jnp.float32)
+            per_block = oh @ tabs.T  # (N, NB) — exact: values < 2^24
+            blk_full = jnp.repeat(cb, CELL_BITS)
+            sel = (
+                blk_full[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
+            )
+            aug = jnp.sum(jnp.where(sel, per_block, 0.0), axis=1).astype(jnp.int32)
+        else:
+            idx = cb[:, None] * aug_stride + offset
+            aug = aug_flat[idx.reshape(-1)]
         aug = jnp.where(unmatched.reshape(-1), 0, aug)
         return aug, length.reshape(-1)
 
