@@ -1,33 +1,40 @@
 """Benchmark: gzip decode throughput on the real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: the compiled reference decodes gzipsample.gz at 0.019 GB/s of
 output on this container's CPU (BASELINE.md).  vs_baseline = ours / that.
 
-Measures the v3 device pipeline (native host scan with exact cell entries
-+ TPU decode-graph/chase + LZ77 resolve) in steady state on gzipsample —
-the hellogz repeat-N flow (reference hellogz.c:64-74).
+Runs the measurement in a watchdog subprocess (the TPU tunnel can wedge);
+if the chip is unreachable the CPU backend result is reported with
+backend="cpu-fallback" so a line is always emitted.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 BASELINE_GBPS = 0.019
+_INNER_FLAG = "DBG_BENCH_INNER"
 
 
-def main() -> None:
+def inner(backend: str) -> None:
     import numpy as np
 
-    value = 0.0
     detail = {}
+    value = 0.0
     try:
-        import jax
+        if backend == "cpu":
+            import jax
 
+            jax.config.update("jax_platforms", "cpu")
         from debigulator_tpu.utils.config import setup_jax_cache
 
         setup_jax_cache()
+        import jax
 
         from debigulator_tpu.models.gzip_codec import parse_gzip_members
         from debigulator_tpu.ops import inflate_v3 as v3
@@ -75,9 +82,8 @@ def main() -> None:
             "exact_entries": exact,
             "bit_exact": True,
         }
-    except Exception as e:  # noqa: BLE001 — always emit a line
+    except Exception as e:  # noqa: BLE001
         detail = {"error": f"{type(e).__name__}: {e}"}
-
     print(
         json.dumps(
             {
@@ -85,10 +91,55 @@ def main() -> None:
                 "value": round(value, 5),
                 "unit": "GB/s",
                 "vs_baseline": round(value / BASELINE_GBPS, 3),
+                "backend": backend,
                 **detail,
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def _run_inner(backend: str, timeout: int) -> str | None:
+    env = dict(os.environ)
+    env[_INNER_FLAG] = backend
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True,
+            timeout=timeout,
+            env=env,
+            text=True,
+        )
+        for line in reversed(r.stdout.splitlines()):
+            if line.startswith("{"):
+                return line
+    except subprocess.TimeoutExpired:
+        return None
+    return None
+
+
+def main() -> None:
+    if os.environ.get(_INNER_FLAG):
+        inner(os.environ[_INNER_FLAG])
+        return
+    line = _run_inner("tpu", timeout=900)
+    if line is None or '"error"' in line:
+        fallback = _run_inner("cpu", timeout=600)
+        if line is None:
+            line = fallback
+        elif fallback is not None and '"error"' not in fallback:
+            line = fallback
+    if line is None:
+        line = json.dumps(
+            {
+                "metric": "gzip_decode_throughput",
+                "value": 0.0,
+                "unit": "GB/s",
+                "vs_baseline": 0.0,
+                "error": "device unreachable (tunnel timeout)",
+            }
+        )
+    print(line)
 
 
 if __name__ == "__main__":

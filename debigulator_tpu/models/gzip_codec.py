@@ -189,9 +189,9 @@ def encode_gzip(data: bytes, deflate_fn=None, fname: bytes | None = None) -> byt
     deflate_fn(data) -> compressed bytes; defaults to the framework encoder.
     """
     if deflate_fn is None:
-        from debigulator_tpu.ops.deflate_encode import deflate_fixed
+        from debigulator_tpu.ops.deflate_encode import deflate
 
-        deflate_fn = deflate_fixed
+        deflate_fn = deflate
     flg = C.GZIP_FNAME if fname else 0
     header = struct.pack("<2sBBIBB", C.GZIP_MAGIC, C.GZIP_CM_DEFLATE, flg, 0, 0, 255)
     if fname:

@@ -75,7 +75,7 @@ def zlib_wrap(payload: bytes, data: bytes, level_hint: int = 2) -> bytes:
 
 def encode_zlib(data: bytes, deflate_fn=None) -> bytes:
     if deflate_fn is None:
-        from debigulator_tpu.ops.deflate_encode import deflate_fixed
+        from debigulator_tpu.ops.deflate_encode import deflate
 
-        deflate_fn = deflate_fixed
+        deflate_fn = deflate
     return zlib_wrap(deflate_fn(data), data)

@@ -260,6 +260,167 @@ def deflate_fixed(data, num_candidates: int = 4) -> bytes:
     return packed
 
 
+def _package_merge(freqs: np.ndarray, maxlen: int) -> np.ndarray:
+    """Optimal length-limited Huffman code lengths (package-merge).
+
+    freqs: (n,) symbol frequencies.  Returns (n,) lengths (0 for unused),
+    all ≤ maxlen, Kraft-complete for ≥2 used symbols.
+    """
+    syms = np.nonzero(freqs)[0]
+    n = len(syms)
+    lengths = np.zeros(len(freqs), dtype=np.int32)
+    if n == 0:
+        return lengths
+    if n == 1:
+        lengths[syms[0]] = 1
+        return lengths
+    originals = sorted((int(freqs[s]), (int(s),)) for s in syms)
+    prev: list = []
+    for _ in range(maxlen):
+        merged = sorted(originals + prev, key=lambda t: t[0])
+        prev = [
+            (merged[i][0] + merged[i + 1][0], merged[i][1] + merged[i + 1][1])
+            for i in range(0, len(merged) - 1, 2)
+        ]
+    # The first n-1 packages of the top level contain each symbol as many
+    # times as its code length.
+    for _, symset in prev[: n - 1]:
+        for s in symset:
+            lengths[s] += 1
+    return lengths
+
+
+def _rle_code_lengths(lengths: np.ndarray):
+    """RFC 1951 §3.2.7 RLE of code lengths → (symbols, extra_vals, extra_bits)."""
+    out_sym, out_val, out_bits = [], [], []
+    i, n = 0, len(lengths)
+    while i < n:
+        l = int(lengths[i])
+        run = 1
+        while i + run < n and int(lengths[i + run]) == l:
+            run += 1
+        if l == 0:
+            while run >= 3:
+                take = min(run, 138)
+                if take >= 11:
+                    out_sym.append(18)
+                    out_val.append(take - 11)
+                    out_bits.append(7)
+                else:
+                    out_sym.append(17)
+                    out_val.append(take - 3)
+                    out_bits.append(3)
+                run -= take
+                i += take
+            for _ in range(run):
+                out_sym.append(0); out_val.append(0); out_bits.append(0)
+                i += 1
+        else:
+            out_sym.append(l); out_val.append(0); out_bits.append(0)
+            i += 1
+            run -= 1
+            while run >= 3:
+                take = min(run, 6)
+                out_sym.append(16); out_val.append(take - 3); out_bits.append(2)
+                run -= take
+                i += take
+            for _ in range(run):
+                out_sym.append(l); out_val.append(0); out_bits.append(0)
+                i += 1
+    return (
+        np.array(out_sym, np.int64),
+        np.array(out_val, np.int64),
+        np.array(out_bits, np.int64),
+    )
+
+
+def deflate_dynamic(data, num_candidates: int = 4) -> bytes:
+    """Compress with a single dynamic-Huffman block (BTYPE=2).
+
+    Code lengths are optimal length-limited (package-merge) for the actual
+    token distribution — this is the capability step beyond the reference
+    encoder (stb emits fixed-Huffman only, stb_write.h:915-916).
+    """
+    data_np = np.frombuffer(memoryview(bytes(data)), dtype=np.uint8)
+    tokens = lz77_parse(data_np, num_candidates=num_candidates)
+    tokens_eob = tokens + [(-2, 0, 0)]  # sentinel handled below
+
+    # Symbol frequencies.
+    lit_freq = np.zeros(286, np.int64)
+    dist_freq = np.zeros(30, np.int64)
+    for t in tokens:
+        if t[0] >= 0:
+            lit_freq[t[0]] += 1
+        else:
+            li = int(np.searchsorted(C.LENGTH_BASE, t[1], side="right")) - 1
+            if t[1] == 258:
+                li = 28
+            lit_freq[257 + li] += 1
+            di = int(np.searchsorted(C.DIST_BASE, t[2], side="right")) - 1
+            dist_freq[di] += 1
+    lit_freq[256] += 1  # EOB
+
+    ll_lengths = _package_merge(lit_freq, 15)
+    d_lengths = _package_merge(dist_freq, 15)
+    hlit = max(257, int(np.nonzero(ll_lengths)[0].max(initial=256)) + 1)
+    hdist = max(1, int(np.nonzero(d_lengths)[0].max(initial=0)) + 1)
+
+    # Code-length code.
+    all_lengths = np.concatenate([ll_lengths[:hlit], d_lengths[:hdist]])
+    cl_sym, cl_val, cl_bits = _rle_code_lengths(all_lengths)
+    cl_freq = np.bincount(cl_sym, minlength=19)
+    cl_lengths = _package_merge(cl_freq, 7)
+    cl_codes = canonical_codes(cl_lengths)
+
+    order = C.CODE_LENGTH_ORDER
+    hclen = 19
+    while hclen > 4 and cl_lengths[order[hclen - 1]] == 0:
+        hclen -= 1
+
+    # Header fields.
+    hdr_vals = [0b101, hlit - 257, hdist - 1, hclen - 4]  # BFINAL=1,BTYPE=2
+    hdr_bits = [3, 5, 5, 4]
+    for i in range(hclen):
+        hdr_vals.append(int(cl_lengths[order[i]]))
+        hdr_bits.append(3)
+    # RLE'd code-length symbols.
+    cl_code_vals = _reverse_bits(cl_codes[cl_sym], cl_lengths[cl_sym])
+    rle_vals = np.stack([cl_code_vals, cl_val.astype(np.uint32)], 1).reshape(-1)
+    rle_bits = np.stack([cl_lengths[cl_sym], cl_bits], 1).reshape(-1)
+
+    ll_codes = canonical_codes(ll_lengths)
+    d_codes = canonical_codes(d_lengths)
+    vals, bits = _tokens_to_fields(
+        tokens, ll_codes, ll_lengths, d_codes, d_lengths
+    )
+    eob_bits = int(ll_lengths[256])
+    eob_val = int(_reverse_bits(np.array([ll_codes[256]]), np.array([eob_bits]))[0])
+
+    all_vals = np.concatenate(
+        [np.array(hdr_vals, np.uint64), rle_vals.astype(np.uint64),
+         vals, [np.uint64(eob_val)]]
+    )
+    all_bits = np.concatenate(
+        [np.array(hdr_bits, np.int64), rle_bits.astype(np.int64),
+         bits, [eob_bits]]
+    )
+    packed, _ = pack_bits(all_vals, all_bits)
+    return packed
+
+
+def deflate(data, num_candidates: int = 4) -> bytes:
+    """Best-of-three DEFLATE: min(stored, fixed, dynamic)."""
+    data = bytes(data)
+    candidates = [deflate_stored(data)]
+    try:
+        candidates.append(deflate_fixed(data, num_candidates))
+        if len(data) >= 64:
+            candidates.append(deflate_dynamic(data, num_candidates))
+    except Exception:  # pragma: no cover — encoder fallback safety
+        pass
+    return min(candidates, key=len)
+
+
 def deflate_stored(data) -> bytes:
     """Stored-only DEFLATE stream (BTYPE=0 blocks, ≤65535 bytes each)."""
     data = bytes(data)

@@ -12,7 +12,12 @@ import tempfile
 import numpy as np
 import pytest
 
-from debigulator_tpu.ops.deflate_encode import deflate_fixed, deflate_stored
+from debigulator_tpu.ops.deflate_encode import (
+    deflate,
+    deflate_dynamic,
+    deflate_fixed,
+    deflate_stored,
+)
 
 REF_SRC = pathlib.Path("/root/reference/src")
 HARNESS_SRC = pathlib.Path(__file__).parent / "ref_oracle" / "inflate_check.c"
@@ -88,3 +93,30 @@ def test_size_beats_stb_on_corpus_like_data(corpus_dir):
     # stb itself produced 41,221 on its own filter choices — compare against
     # the published stb number with a small tolerance for filter differences).
     assert len(blob) <= 45_420, f"PNG encode regressed: {len(blob)}"
+
+
+@pytest.mark.parametrize(
+    "name,data",
+    [
+        ("text", b"dynamic huffman under the reference decoder " * 150),
+        ("runs", b"m" * 4000 + b"xyz" * 500),
+        ("binary", bytes(np.random.default_rng(5).integers(0, 64, 8000, dtype=np.uint8))),
+    ],
+)
+def test_dynamic_streams_decode_under_reference(name, data):
+    _check(deflate_dynamic(data), data)
+
+
+def test_best_of_three_decode_under_reference():
+    data = b"best-of-three " * 500
+    _check(deflate(data), data)
+
+
+def test_dynamic_beats_zlib_on_text():
+    import zlib
+
+    data = (b"v 1.2345 2.3456 3.4567\nvn 0.1 0.2 0.3\nf 1//2 3//4 5//6\n" * 400)
+    ours = deflate(data)
+    z9 = zlib.compress(data, 9)[2:-4]
+    # Our single-block dynamic encode should land within 5% of zlib -9.
+    assert len(ours) <= int(len(z9) * 1.05), (len(ours), len(z9))
