@@ -40,12 +40,16 @@ from debigulator_tpu import constants as C
 from debigulator_tpu.ops.huffman import build_decode_table
 from debigulator_tpu.ops.inflate_ref import BlockInfo
 
-CELL_BITS = 512
+#: Cell size in bits.  With exact scanner entries there is no self-sync
+#: constraint, and chase work scales ∝ CELL_BITS (steps = densest cell's
+#: symbol count while per-step work is N-proportional) — so small cells
+#: win outright.
+CELL_BITS = 64
 CELL_STATES = 2 * CELL_BITS
 #: Tape slots per cell.  ≥ CELL_BITS is always exact; smaller values are
 #: verified at runtime via the per-cell emission count (overflow → the
 #: caller retries with the exact bound).
-DEFAULT_SLOTS = 96
+DEFAULT_SLOTS = 24
 
 # meta[state] packing: bits 0-15 payload (literal byte / distance),
 # bits 16-24 pending length (at length-symbol states), bits 25-26 kind.
@@ -346,7 +350,11 @@ def build_graph_v3(arrays, n_bits: int):
                 == jnp.arange(aug_stride, dtype=jnp.int32)[None, :]
             ).astype(jnp.float32)
             tabs = aug_flat.reshape(nb, aug_stride).astype(jnp.float32)
-            per_block = oh @ tabs.T  # (N, NB) — exact: values < 2^24
+            # HIGHEST precision: TPU f32 matmuls default to bf16 passes,
+            # which silently corrupts table values ≥ 256 (verified on-chip).
+            per_block = jnp.dot(
+                oh, tabs.T, precision=jax.lax.Precision.HIGHEST
+            )  # (N, NB) — exact: values < 2^24
             blk_full = jnp.repeat(cb, CELL_BITS)
             sel = (
                 blk_full[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
@@ -382,9 +390,13 @@ def build_graph_v3(arrays, n_bits: int):
     nxt_lit = jnp.where(
         is_eob == 1, arrays["block_next_entry"][blk], nxt_lit
     )
-    # lit-state emission: literal byte or none (len/EOB emit at dist/none).
-    emit_lit = jnp.where((is_len == 1) | (is_eob == 1), -1, lval)
-    pend_lit = jnp.where(is_len == 1, length_val, 0)
+    # lit-state meta: kind LIT with byte payload, or NONE carrying the
+    # pending match length for length symbols.
+    meta_lit = jnp.where(
+        (is_len == 1) | (is_eob == 1),
+        (K_NONE << META_KIND_SHIFT) | jnp.where(is_len == 1, length_val << 16, 0),
+        (K_LIT << META_KIND_SHIFT) | lval,
+    )
 
     # dist mode
     dbase = d_aug & 0x7FFF
@@ -392,19 +404,18 @@ def build_graph_v3(arrays, n_bits: int):
     dextra = (win >> d_len.astype(jnp.uint32)).astype(jnp.int32) & ((1 << deb) - 1)
     dist_val = dbase + dextra
     nxt_dist = (pos + d_len + deb) * 2 + _LIT
-    # dist-state emission: match token missing its length (filled from
-    # pending at chase time): dist in bits 16-31? keep dist only.
-    emit_dist = TOK_MATCH_BIT | dist_val  # length OR'd in during chase
+    # dist-state meta: kind DIST with the distance payload (the match
+    # length joins from the carried pending at chase time).
+    meta_dist = (K_DIST << META_KIND_SHIFT) | dist_val
 
     nxt = jnp.stack([nxt_lit, nxt_dist], axis=1).reshape(-1)
-    emit = jnp.stack([emit_lit, emit_dist], axis=1).reshape(-1)
-    pend = jnp.stack([pend_lit, jnp.zeros_like(pend_lit)], axis=1).reshape(-1)
+    meta = jnp.stack([meta_lit, meta_dist], axis=1).reshape(-1)
     # No clipping: states past the stream (or the TERMINAL marker, -2) fall
     # outside every cell's window, so their lanes simply go inactive.
-    return nxt, emit, pend
+    return nxt, meta
 
 
-def chase_cells(nxt, emit, pend, cell_entry, n_bits: int, slots: int,
+def chase_cells(nxt, meta, cell_entry, n_bits: int, slots: int,
                 max_steps: int | None = None, return_counts: bool = False,
                 exact: bool = False, cell_pend=None):
     """Cell-parallel chase with exact entry fixpoint.
@@ -413,8 +424,7 @@ def chase_cells(nxt, emit, pend, cell_entry, n_bits: int, slots: int,
     """
     num_cells = n_bits // CELL_BITS
     t_nxt = nxt.reshape(num_cells, CELL_STATES)
-    t_emit = emit.reshape(num_cells, CELL_STATES)
-    t_pend = pend.reshape(num_cells, CELL_STATES)
+    t_meta = meta.reshape(num_cells, CELL_STATES)
     base = jax.lax.broadcasted_iota(jnp.int32, (num_cells, 1), 0).reshape(-1) * CELL_STATES
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (num_cells, CELL_STATES), 1)
     pinned = cell_entry >= 0
@@ -440,12 +450,18 @@ def chase_cells(nxt, emit, pend, cell_entry, n_bits: int, slots: int,
             active = (s_local >= 0) & (s_local < CELL_STATES)
             sl = jnp.clip(s_local, 0, CELL_STATES - 1)
             nx = lane_lookup(t_nxt, sl)
-            em = lane_lookup(t_emit, sl)
-            pd = lane_lookup(t_pend, sl)
-            # Fill the match length from pending at the dist step.
-            em = jnp.where(em >= TOK_MATCH_BIT, em | (p << 16), em)
+            mt = lane_lookup(t_meta, sl)
+            kind = mt >> META_KIND_SHIFT
+            payload = mt & 0xFFFF
+            pd = (mt >> 16) & 0x1FF
+            is_dist = kind == K_DIST
+            # Emit: literal byte, or match token with the carried pending.
+            em = jnp.where(
+                is_dist, TOK_MATCH_BIT | (p << 16) | payload,
+                jnp.where(kind == K_LIT, payload, -1),
+            )
             new_p = jnp.where(pd > 0, pd, p)
-            new_p = jnp.where(em >= TOK_MATCH_BIT, 0, new_p)
+            new_p = jnp.where(is_dist, 0, new_p)
             do_emit = active & (em >= 0)
             if tp is not None:
                 slot = jnp.where(do_emit & (cnt < slots), cnt, slots + 1)
@@ -567,9 +583,9 @@ def resolve_tape_xla(tape, cell_block, block_out_base, out_size: int,
     jax.jit, static_argnames=("n_bits", "slots", "out_size", "exact")
 )
 def _inflate_v3_jit(arrays, n_bits, slots, out_size, exact=False):
-    nxt, emit, pend = build_graph_v3(arrays, n_bits)
+    nxt, meta = build_graph_v3(arrays, n_bits)
     tape, overflow, sweeps = chase_cells(
-        nxt, emit, pend, arrays["cell_entry"], n_bits, slots,
+        nxt, meta, arrays["cell_entry"], n_bits, slots,
         exact=exact, cell_pend=arrays["cell_pend"],
     )
     out = resolve_tape_xla(
@@ -582,9 +598,9 @@ def _inflate_v3_jit(arrays, n_bits, slots, out_size, exact=False):
 @functools.partial(jax.jit, static_argnames=("n_bits", "slots", "exact"))
 def _tape_v3_jit(arrays, n_bits, slots, exact=False):
     """Phase A only: decode graph + chase → (tape, overflow, counts)."""
-    nxt, emit, pend = build_graph_v3(arrays, n_bits)
+    nxt, meta = build_graph_v3(arrays, n_bits)
     tape, overflow, counts, sweeps = chase_cells(
-        nxt, emit, pend, arrays["cell_entry"], n_bits, slots,
+        nxt, meta, arrays["cell_entry"], n_bits, slots,
         return_counts=True, exact=exact, cell_pend=arrays["cell_pend"],
     )
     return tape, overflow, counts, sweeps

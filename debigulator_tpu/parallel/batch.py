@@ -71,9 +71,9 @@ def stack_plans(plans: list[v3.PlanV3]) -> tuple[dict, dict]:
 
 def _inflate_one(arrays, n_bits: int, slots: int, out_size: int):
     """Single-stream v3 core (vmap-able, exact entries)."""
-    nxt, emit, pend = v3.build_graph_v3(arrays, n_bits)
+    nxt, meta = v3.build_graph_v3(arrays, n_bits)
     tape, overflow, sweeps = v3.chase_cells(
-        nxt, emit, pend, arrays["cell_entry"], n_bits, slots,
+        nxt, meta, arrays["cell_entry"], n_bits, slots,
         exact=True, cell_pend=arrays["cell_pend"],
     )
     out = v3.resolve_tape_xla(
@@ -128,9 +128,16 @@ def plan_streams(streams: list[bytes]) -> list[v3.PlanV3]:
     return plans
 
 
-def decode_batch_device(streams: list[bytes], mesh: Mesh | None = None):
-    """Decode a list of raw DEFLATE streams as one batched device call."""
+def decode_batch_device(streams: list[bytes], mesh: Mesh | None = None,
+                        slots: int | None = None):
+    """Decode a list of raw DEFLATE streams as one batched device call.
+
+    Retries once with the exact per-cell slot bound on tape overflow.
+    """
     plans = plan_streams(streams)
+    if slots is not None:
+        for p in plans:
+            p.slots = slots
     batched, dims = stack_plans(plans)
     if mesh is None:
         out, overflow = batched_inflate(
@@ -146,7 +153,9 @@ def decode_batch_device(streams: list[bytes], mesh: Mesh | None = None):
                 batched[k] = np.concatenate([batched[k], reps])
         out, overflow = sharded_inflate(mesh, batched, dims)
     if bool(np.asarray(overflow).any()):
-        raise RuntimeError("tape overflow in batch decode (raise slots)")
+        if slots == v3.CELL_BITS + 1:
+            raise RuntimeError("tape overflow at exact slot bound (bug)")
+        return decode_batch_device(streams, mesh=mesh, slots=v3.CELL_BITS + 1)
     out_np = np.asarray(out)
     return [out_np[i, : plans[i].out_size].tobytes() for i in range(len(plans))]
 

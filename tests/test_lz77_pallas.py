@@ -102,12 +102,13 @@ def test_against_real_stream():
     blocks, lengths = scan_stream(comp)
     plan = v3.build_plan_v3(comp, blocks, lengths)
     arrays = v3.plan_arrays_v3(plan)
-    nxt, emit, pend = jax.jit(v3.build_graph_v3, static_argnames="n_bits")(
+    nxt, meta = jax.jit(v3.build_graph_v3, static_argnames="n_bits")(
         arrays, n_bits=plan.n_bits
     )
     tape, overflow, counts, sweeps = v3.chase_cells(
-        nxt, emit, pend, arrays["cell_entry"], plan.n_bits, plan.slots,
-        return_counts=True,
+        nxt, meta, arrays["cell_entry"], plan.n_bits, plan.slots,
+        return_counts=True, exact=plan.exact_entries,
+        cell_pend=arrays["cell_pend"],
     )
     assert not bool(overflow)
     got = lz.resolve_tape_pallas(
