@@ -75,6 +75,37 @@ def decode_png_device(data, verify_crc: bool = True, verify_adler: bool = True):
     )
 
 
+def decode_png_batch(datas: list[bytes], mesh=None, verify_crc: bool = True):
+    """Batch PNG decode: all IDAT streams inflate as ONE batched device
+    call (dp-sharded when a mesh is given), then per-image unfilter.
+
+    This is the corpus bench path (BASELINE.json config 3): the batch is
+    the unit of data parallelism, outputs return in input order.
+    """
+    from debigulator_tpu.parallel.batch import decode_batch_device
+
+    parsed = [png_codec.parse_chunks(d, verify_crc=verify_crc) for d in datas]
+    for ch in parsed:
+        parse_zlib_header(ch.idat)
+    streams = [ch.idat[2:] for ch in parsed]
+    raws = decode_batch_device(streams, mesh=mesh)
+    images = []
+    for ch, raw in zip(parsed, raws):
+        info = ch.info
+        expected_size = info.height * (1 + info.stride)
+        if len(raw) != expected_size:
+            raise png_codec.PngError(
+                f"decompressed size {len(raw)} != expected {expected_size}"
+            )
+        recon = unfilter_device(
+            np.frombuffer(raw, np.uint8), info.height, info.width, info.bpp
+        )
+        images.append(
+            png_codec.expand_to_rgba(np.asarray(recon), info, ch.palette, ch.trns)
+        )
+    return images
+
+
 @dataclasses.dataclass
 class DecodeResult:
     """Batch decode result entry (good-flag error model like the reference,

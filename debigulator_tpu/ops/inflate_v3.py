@@ -595,6 +595,82 @@ def _inflate_v3_jit(arrays, n_bits, slots, out_size, exact=False):
     return out, overflow, sweeps
 
 
+def resolve_tape_fused(tape, cell_block, block_out_base, out_rows: int,
+                       m_rows: int, stored_pos, stored_val, tail,
+                       interpret: bool = False):
+    """Phase B, fused form: XLA scatters literals + compacts matches, the
+    Pallas match kernel resolves copies — all inside one jit.
+
+    tail: (WINDOW,) int32 window prologue (zeros for a stream head).
+    Returns the (out_rows, 128) int32 byte buffer (window at the front).
+    """
+    from debigulator_tpu.ops import lz77_pallas as lz
+
+    cells, slots = tape.shape
+    flat = tape.reshape(-1)
+    valid = flat >= 0
+    is_match = flat >= TOK_MATCH_BIT
+    mlen = (flat >> 16) & 0x3FFF
+    mdist = flat & 0xFFFF
+    out_len = jnp.where(is_match, mlen, jnp.where(valid, 1, 0)).astype(jnp.int32)
+
+    base = jnp.repeat(block_out_base[cell_block], slots)
+    cum = jnp.cumsum(out_len)
+    out_pos = base + cum - out_len + lz.WINDOW
+
+    total = out_rows * 128
+    out_flat = jnp.zeros(total, jnp.int32)
+    out_flat = out_flat.at[: lz.WINDOW].set(tail)
+    lit_mask = valid & ~is_match
+    lit_tgt = jnp.where(lit_mask, out_pos, total)
+    out_flat = out_flat.at[lit_tgt].set(jnp.where(lit_mask, flat, 0), mode="drop")
+    if stored_val.shape[0]:
+        out_flat = out_flat.at[stored_pos + lz.WINDOW].set(
+            stored_val.astype(jnp.int32), mode="drop"
+        )
+
+    # Compact matches in order (min match length 3 ⇒ m_rows*128 ≥ out/3
+    # can never overflow).
+    midx = jnp.cumsum(is_match.astype(jnp.int32)) - 1
+    m_cap = m_rows * 128
+    tgt = jnp.where(is_match, midx, m_cap)
+    mpos = jnp.full(m_cap, lz.WINDOW, jnp.int32)
+    mpos = mpos.at[tgt].set(out_pos, mode="drop")
+    mmeta = jnp.zeros(m_cap, jnp.int32)
+    mmeta = mmeta.at[tgt].set(
+        jnp.where(is_match, (mlen << 16) | mdist, 0), mode="drop"
+    )
+
+    out2d = lz.resolve_matches(
+        out_flat.reshape(out_rows, 128),
+        mpos.reshape(m_rows, 128),
+        mmeta.reshape(m_rows, 128),
+        interpret=interpret,
+    )
+    return out2d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_bits", "slots", "out_rows", "m_rows", "exact", "interpret"),
+)
+def _inflate_v4_jit(arrays, n_bits, slots, out_rows, m_rows, exact=False,
+                    interpret=False):
+    """Full fused pipeline: decode graph + chase + literal scatter + Pallas
+    match kernel — ONE device call per stream."""
+    nxt, meta = build_graph_v3(arrays, n_bits)
+    tape, overflow, counts, sweeps = chase_cells(
+        nxt, meta, arrays["cell_entry"], n_bits, slots,
+        return_counts=True, exact=exact, cell_pend=arrays["cell_pend"],
+    )
+    out2d = resolve_tape_fused(
+        tape, arrays["cell_block"], arrays["block_out_base"], out_rows, m_rows,
+        arrays["stored_pos"], arrays["stored_val"],
+        jnp.zeros(32768, jnp.int32), interpret=interpret,
+    )
+    return out2d, overflow
+
+
 @functools.partial(jax.jit, static_argnames=("n_bits", "slots", "exact"))
 def _tape_v3_jit(arrays, n_bits, slots, exact=False):
     """Phase A only: decode graph + chase → (tape, overflow, counts)."""
@@ -630,25 +706,26 @@ def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS,
     arrays = plan_arrays_v3(plan)
     exact = plan.exact_entries
     use_pallas = (
-        force_pallas
-        if force_pallas is not None
-        else (_use_pallas() and plan.stored_pos.shape[0] == 0)
+        force_pallas if force_pallas is not None else _use_pallas()
     )
-    if use_pallas:
-        from debigulator_tpu.ops import lz77_pallas as lz
+    from debigulator_tpu.ops import lz77_pallas as lz
 
-        tape, overflow, counts, sweeps = _tape_v3_jit(
-            arrays, plan.n_bits, plan.slots, exact=exact
+    if use_pallas and plan.out_size + lz.WINDOW + 512 <= lz.OUT_CAP + lz.WINDOW:
+        out_rows = -(-(plan.out_size + lz.WINDOW + lz.MAXLEN + 512) // 128)
+        m_rows = -(-(plan.out_size // 3 + 130) // 128)
+        interp = jax.default_backend() == "cpu"
+        out2d, overflow = _inflate_v4_jit(
+            arrays, plan.n_bits, plan.slots, out_rows, m_rows, exact=exact,
+            interpret=interp,
         )
         if bool(overflow):
-            tape, overflow, counts, sweeps = _tape_v3_jit(
-                arrays, plan.n_bits, CELL_BITS + 1, exact=exact
+            out2d, overflow = _inflate_v4_jit(
+                arrays, plan.n_bits, CELL_BITS + 1, out_rows, m_rows,
+                exact=exact, interpret=interp,
             )
             assert not bool(overflow)
-        out = lz.resolve_tape_pallas(
-            np.asarray(tape), np.asarray(counts), plan.out_size
-        )
-        return out.tobytes()
+        flat = np.asarray(out2d).reshape(-1)
+        return flat[lz.WINDOW : lz.WINDOW + plan.out_size].astype(np.uint8).tobytes()
     out_pad = _round_pow2(max(plan.out_size, 1), 256)
     out, overflow, sweeps = _inflate_v3_jit(
         arrays, plan.n_bits, plan.slots, out_pad, exact=exact

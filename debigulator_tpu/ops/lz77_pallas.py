@@ -212,6 +212,87 @@ def _round_up(n, m):
     return -(-n // m) * m
 
 
+# ---------------------------------------------------------------------------
+# Match-only kernel (v3): literals pre-scattered by XLA, the kernel walks
+# just the compacted match list — ~100 ns per match instead of per-token
+# loop overheads.  Composes inside one jit with Phase A (one device call
+# per stream/batch).
+# ---------------------------------------------------------------------------
+
+
+def _match_kernel(pos_ref, meta_ref, init_ref, out_ref):
+    """pos_ref/meta_ref: (Mr, 128) int32 — match output positions (offset by
+    WINDOW) and packed len<<16|dist; padding entries have len 0.
+    init_ref aliases out_ref ((rows, 128) int32): the prologue rows already
+    hold the window tail and literals are pre-scattered."""
+    del init_ref  # same memory as out_ref (input_output_aliases)
+    m_rows = pos_ref.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def per_row(ri, _):
+        prow = pos_ref[pl.ds(ri, 1), :]
+        mrow = meta_ref[pl.ds(ri, 1), :]
+
+        def per_lane(j, _):
+            cur = jnp.sum(jnp.where(iota == j, prow, 0))
+            meta = jnp.sum(jnp.where(iota == j, mrow, 0))
+            length = meta >> 16
+            dist = meta & 0xFFFF
+
+            @pl.when(length > 0)
+            def _():
+                src = cur - dist
+
+                @pl.when(dist >= length)
+                def _plain():
+                    data = _load_span(out_ref, src)
+                    _store_span(out_ref, cur, data, length)
+
+                @pl.when(dist < length)
+                def _overlap():
+                    n0 = jnp.minimum(dist, length)
+                    data = _load_span(out_ref, src)
+                    _store_span(out_ref, cur, data, n0)
+
+                    def grow(k, avail):
+                        @pl.when(avail < length)
+                        def _():
+                            d2 = _load_span(out_ref, cur)
+                            n_new = jnp.minimum(avail, length - avail)
+                            _store_span(out_ref, cur + avail, d2, n_new)
+                        return jnp.minimum(avail * 2, length)
+
+                    jax.lax.fori_loop(0, 9, grow, n0)
+
+            return 0
+
+        jax.lax.fori_loop(0, 128, per_lane, 0)
+        return 0
+
+    jax.lax.fori_loop(0, m_rows, per_row, 0)
+
+
+def resolve_matches(out_init, match_pos, match_meta, interpret: bool = False):
+    """Run the match kernel inside jit.
+
+    out_init: (rows, 128) int32 with window prologue + scattered literals.
+    match_pos/match_meta: (Mr, 128) int32, padding entries len=0.
+    Returns the resolved (rows, 128) buffer.
+    """
+    return pl.pallas_call(
+        _match_kernel,
+        out_shape=jax.ShapeDtypeStruct(out_init.shape, jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(match_pos, match_meta, out_init)
+
+
 def resolve_tape_pallas(tape_np, counts_np, out_size: int,
                         interpret: bool = False) -> np.ndarray:
     """Host-orchestrated multi-launch resolve (chained 32 KiB tails).

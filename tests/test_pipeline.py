@@ -38,3 +38,21 @@ def test_decode_corpus_error_isolation(tmp_path, corpus_dir):
     results = pipeline.decode_corpus([good, bad])
     assert results[0].good and results[0].data.shape == (10, 10, 4)
     assert not results[1].good and "PngError" in results[1].error
+
+
+def test_png_batch_decode(corpus_dir):
+    names = ["structuredart1", "structuredart2", "structuredart3"]
+    datas = [(corpus_dir / f"{n}.png").read_bytes() for n in names]
+    images = pipeline.decode_png_batch(datas)
+    for n, img in zip(names, images):
+        assert hashlib.sha256(img.tobytes()).hexdigest() == GOLDEN[n]["sha256"]
+
+
+def test_png_batch_decode_sharded(corpus_dir):
+    from debigulator_tpu.parallel.mesh import make_mesh
+
+    names = ["structuredart1", "structuredart2"]
+    datas = [(corpus_dir / f"{n}.png").read_bytes() for n in names]
+    images = pipeline.decode_png_batch(datas, mesh=make_mesh(dp=8))
+    for n, img in zip(names, images):
+        assert hashlib.sha256(img.tobytes()).hexdigest() == GOLDEN[n]["sha256"]
