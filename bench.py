@@ -58,8 +58,8 @@ def inner(backend: str) -> None:
         exact = plan.exact_entries
         interp = jax.default_backend() == "cpu"
 
-        out_rows = -(-(plan.out_size + lz.WINDOW + lz.MAXLEN + 512) // 128)
-        m_rows = -(-(plan.out_size // 3 + 130) // 128)
+        out_rows = v3._round_pow2(-(-(plan.out_size + lz.WINDOW + lz.MAXLEN + 512) // 128), 64)
+        m_rows = v3._round_pow2(-(-(plan.out_size // 3 + 130) // 128), 16)
 
         def run_once():
             out2d, ovf = v3._inflate_v4_jit(

@@ -711,8 +711,8 @@ def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS,
     from debigulator_tpu.ops import lz77_pallas as lz
 
     if use_pallas and plan.out_size + lz.WINDOW + 512 <= lz.OUT_CAP + lz.WINDOW:
-        out_rows = -(-(plan.out_size + lz.WINDOW + lz.MAXLEN + 512) // 128)
-        m_rows = -(-(plan.out_size // 3 + 130) // 128)
+        out_rows = _round_pow2(-(-(plan.out_size + lz.WINDOW + lz.MAXLEN + 512) // 128), 64)
+        m_rows = _round_pow2(-(-(plan.out_size // 3 + 130) // 128), 16)
         interp = jax.default_backend() == "cpu"
         out2d, overflow = _inflate_v4_jit(
             arrays, plan.n_bits, plan.slots, out_rows, m_rows, exact=exact,

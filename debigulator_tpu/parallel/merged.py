@@ -1,0 +1,189 @@
+"""Merged-plan batching: N independent DEFLATE streams as ONE device call.
+
+Streams concatenate on the virtual bitstream: each stream's blocks keep
+their own EOB chain (ending in TERMINAL), cells carry exact entries, and
+output positions are globally offset per stream.  DEFLATE distances only
+ever reference within a stream's own output, so the concatenated output
+regions stay independent — no padding waste, no vmap, one fused
+graph+chase+resolve call for the whole batch.  This is the single-chip
+batch-throughput path (the tunnel costs ~50-100 ms per device call, so
+batching per call is the lever); the vmap/shard_map path in
+parallel.batch covers multi-device dp.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from debigulator_tpu.ops import inflate_v3 as v3
+
+
+@dataclasses.dataclass
+class MergedPlan:
+    plan: v3.PlanV3
+    out_offsets: list[int]  # per-stream start in the merged output
+    out_sizes: list[int]
+
+
+def build_merged_plan(streams: list[bytes]) -> MergedPlan:
+    from debigulator_tpu.ops.scanner import scan_stream_cells
+
+    all_blocks: list = []
+    all_lengths: list = []
+    states_parts, pend_parts = [], []
+    out_offsets, out_sizes = [], []
+    bit_cursor = 0  # virtual-cell-aligned bit cursor (for entry rebasing)
+    out_cursor = 0
+    merged_data_parts = []
+    exact = True
+
+    # We merge at the PlanV3 array level: build each stream's plan, then
+    # shift and concatenate.
+    plans = []
+    for s in streams:
+        blocks, lengths, cells = scan_stream_cells(s, v3.CELL_BITS)
+        if cells is None:
+            exact = False
+        plans.append(v3.build_plan_v3(s, blocks, lengths, cells=cells))
+
+    nb_total = sum(p.ll_count.shape[0] for p in plans)
+
+    def cat(get, pad_shape=None):
+        return np.concatenate([get(p) for p in plans])
+
+    # Virtual stream: concatenate used cell ranges (each plan's vbytes is
+    # padded to pow2 — keep only the used cells).
+    vb_parts, cell_entry_parts, cell_pend_parts, cell_block_parts = [], [], [], []
+    ll_parts = {k: [] for k in ("count", "first", "base", "aug")}
+    d_parts = {k: [] for k in ("count", "first", "base", "aug")}
+    bne_parts, bob_parts = [], []
+    stored_pos_parts, stored_val_parts = [], []
+    bit_cursor = 0
+    block_cursor = 0
+    stored_cursor = 0
+    for p in plans:
+        used_cells = int(np.count_nonzero(p.cell_block >= 0))  # all cells
+        # Used bit range = cells actually assigned (the tail of the pow2 pad
+        # belongs to block 0 by default fill — use the real extent):
+        used_bits = 0
+        # Real extent: the last compressed block's cells.
+        nz = np.nonzero(p.cell_entry >= 0)[0]
+        if len(nz):
+            # extent must cover every block's full cell range:
+            used_bits = p.n_bits
+            # trim trailing all-empty cells beyond the last block:
+            # (cell_block is 0-filled in padding; find last cell belonging
+            # to a real block via vbytes extent — conservative: keep n_bits)
+        used_bits = p.n_bits  # conservative: keep the pow2-padded extent
+        ncells = used_bits // v3.CELL_BITS
+
+        vb_parts.append(p.vbytes[: used_bits // 8])
+        entries = p.cell_entry.astype(np.int64).copy()
+        shift = entries >= 0
+        entries[shift] += 2 * bit_cursor
+        cell_entry_parts.append(entries)
+        cell_pend_parts.append(p.cell_pend)
+        cell_block_parts.append(p.cell_block + block_cursor)
+
+        ll_parts["count"].append(p.ll_count)
+        ll_parts["first"].append(p.ll_first)
+        ll_parts["base"].append(p.ll_base)
+        ll_parts["aug"].append(p.ll_aug)
+        d_parts["count"].append(p.d_count)
+        d_parts["first"].append(p.d_first)
+        d_parts["base"].append(p.d_base)
+        d_parts["aug"].append(p.d_aug)
+
+        bne = p.block_next_entry.astype(np.int64).copy()
+        live = bne >= 0
+        bne[live] += 2 * bit_cursor
+        bne_parts.append(bne)
+        # Compressed output accumulates through the GLOBAL tape cumsum, so
+        # per-block correction is only the stored-bytes offset.
+        bob_parts.append(p.block_out_base + stored_cursor)
+
+        if p.stored_pos.shape[0]:
+            stored_pos_parts.append(p.stored_pos + out_cursor)
+            stored_val_parts.append(p.stored_val)
+        stored_cursor += int(p.stored_pos.shape[0])
+
+        out_offsets.append(out_cursor)
+        out_sizes.append(p.out_size)
+        out_cursor += p.out_size
+        bit_cursor += used_bits
+        block_cursor += p.ll_count.shape[0]
+
+    n_bits = v3._round_pow2(max(bit_cursor, v3.CELL_BITS), 1 << 10)
+    vbytes = np.zeros(n_bits // 8 + 16, np.uint8)
+    vb = np.concatenate(vb_parts)
+    vbytes[: len(vb)] = vb
+    num_cells = n_bits // v3.CELL_BITS
+
+    def pad_cells(parts, fill):
+        arr = np.concatenate(parts)
+        out = np.full(num_cells, fill, arr.dtype)
+        out[: len(arr)] = arr
+        return out
+
+    merged = v3.PlanV3(
+        vbytes=vbytes,
+        n_bits=n_bits,
+        num_cells=num_cells,
+        cell_block=pad_cells(cell_block_parts, 0).astype(np.int32),
+        cell_entry=pad_cells(cell_entry_parts, -1).astype(np.int32),
+        ll_count=np.concatenate(ll_parts["count"]),
+        ll_first=np.concatenate(ll_parts["first"]),
+        ll_base=np.concatenate(ll_parts["base"]),
+        ll_aug=np.concatenate(ll_parts["aug"]),
+        d_count=np.concatenate(d_parts["count"]),
+        d_first=np.concatenate(d_parts["first"]),
+        d_base=np.concatenate(d_parts["base"]),
+        d_aug=np.concatenate(d_parts["aug"]),
+        block_next_entry=np.concatenate(bne_parts).astype(np.int32),
+        block_out_base=np.concatenate(bob_parts).astype(np.int32),
+        first_state=plans[0].first_state if plans else v3.TERMINAL,
+        out_size=out_cursor,
+        stored_pos=(np.concatenate(stored_pos_parts) if stored_pos_parts
+                    else np.zeros(0, np.int32)),
+        stored_val=(np.concatenate(stored_val_parts) if stored_val_parts
+                    else np.zeros(0, np.uint8)),
+        slots=max(p.slots for p in plans) if plans else v3.DEFAULT_SLOTS,
+        exact_entries=exact,
+        cell_pend=pad_cells(cell_pend_parts, 0).astype(np.int32),
+    )
+    return MergedPlan(plan=merged, out_offsets=out_offsets, out_sizes=out_sizes)
+
+
+def decode_merged(streams: list[bytes]) -> list[bytes]:
+    """Decode N streams in one fused device call; outputs in order."""
+    import jax
+    import numpy as np
+
+    from debigulator_tpu.ops import lz77_pallas as lz
+
+    mp = build_merged_plan(streams)
+    plan = mp.plan
+    if not plan.exact_entries:
+        raise RuntimeError("merged decode requires the native scanner")
+    arrays = v3.plan_arrays_v3(plan)
+    interp = jax.default_backend() == "cpu"
+    out_rows = v3._round_pow2(-(-(plan.out_size + lz.WINDOW + lz.MAXLEN + 512) // 128), 64)
+    m_rows = v3._round_pow2(-(-(plan.out_size // 3 + 130) // 128), 16)
+    out2d, overflow = v3._inflate_v4_jit(
+        arrays, plan.n_bits, plan.slots, out_rows, m_rows,
+        exact=True, interpret=interp,
+    )
+    if bool(overflow):
+        out2d, overflow = v3._inflate_v4_jit(
+            arrays, plan.n_bits, v3.CELL_BITS + 1, out_rows, m_rows,
+            exact=True, interpret=interp,
+        )
+        assert not bool(overflow)
+    flat = np.asarray(out2d).reshape(-1)
+    body = flat[lz.WINDOW : lz.WINDOW + plan.out_size].astype(np.uint8)
+    return [
+        body[off : off + size].tobytes()
+        for off, size in zip(mp.out_offsets, mp.out_sizes)
+    ]

@@ -75,3 +75,18 @@ def test_ring_tail_exchange_semantics():
     for i in range(1, 8):
         exp = np.arange(i * n - tail, i * n)
         np.testing.assert_array_equal(got[i], exp)
+
+
+def test_merged_plan_decode():
+    from debigulator_tpu.parallel.merged import decode_merged
+
+    datas, streams = _mk_streams(7, seed=5)
+    # add an empty stream and a stored-only stream
+    import zlib as z
+
+    c = z.compressobj(0, z.DEFLATED, -15)
+    datas.append(b"stored body " * 40)
+    streams.append(c.compress(datas[-1]) + c.flush())
+    outs = decode_merged(streams)
+    for d, o in zip(datas, outs):
+        assert o == d
