@@ -58,20 +58,18 @@ def inner(backend: str) -> None:
         exact = plan.exact_entries
         interp = jax.default_backend() == "cpu"
 
-        out_rows = v3._round_pow2(-(-(plan.out_size + lz.WINDOW + lz.MAXLEN + 512) // 128), 64)
-        m_rows = v3._round_pow2(-(-(plan.out_size // 3 + 130) // 128), 16)
+        n_seg = v3._round_pow2(max(1, -(-plan.out_size // v3.SEG_BYTES)), 1)
 
         def run_once():
-            out2d, ovf = v3._inflate_v4_jit(
-                arrays, plan.n_bits, plan.slots, out_rows, m_rows,
+            body, ovf = v3._inflate_v5_jit(
+                arrays, plan.n_bits, plan.slots, n_seg,
                 exact=exact, interpret=interp,
             )
-            return out2d
+            return body
 
         t0 = time.time()
-        out2d = run_once()
-        flat = np.asarray(out2d).reshape(-1)
-        got = flat[lz.WINDOW : lz.WINDOW + plan.out_size].astype(np.uint8).tobytes()
+        body = run_once()
+        got = np.asarray(body[: plan.out_size]).astype(np.uint8).tobytes()
         compile_s = time.time() - t0
         # Correctness gate before any number is reported.
         assert got == expected, "bench decode is not bit-exact!"
@@ -79,8 +77,8 @@ def inner(backend: str) -> None:
         reps = 10
         t0 = time.time()
         for _ in range(reps):
-            out2d = run_once()
-            _ = np.asarray(out2d[:1, :1])  # force device sync
+            body = run_once()
+            _ = np.asarray(body[:8])  # force device sync
         dt = (time.time() - t0) / reps
         value = len(expected) / dt / 1e9
         detail = {
@@ -89,7 +87,7 @@ def inner(backend: str) -> None:
             "host_scan_ms": round(scan_s * 1e3, 1),
             "compile_s": round(compile_s, 1),
             "exact_entries": exact,
-            "pipeline": "fused (graph+chase+scatter+pallas-match-kernel)",
+            "pipeline": "fused v5 (graph+chase+scatter+segmented pallas match kernel)",
             "bit_exact": True,
         }
     except Exception as e:  # noqa: BLE001

@@ -650,6 +650,110 @@ def resolve_tape_fused(tape, cell_block, block_out_base, out_rows: int,
     return out2d
 
 
+#: Output segment bytes for the segmented resolver (VMEM budget:
+#: (WINDOW + SEG) int32 bytes + per-segment match arrays).
+SEG_BYTES = 512 * 1024
+
+
+def resolve_tape_segmented(tape, cell_block, block_out_base, n_seg: int,
+                           stored_pos, stored_val, interpret: bool = False):
+    """Phase B for arbitrary output sizes: literals scatter into an HBM
+    buffer, matches partition by output segment, and a lax.scan walks
+    segments through the Pallas match kernel carrying the 32 KiB window
+    tail — still ONE device call."""
+    from debigulator_tpu.ops import lz77_pallas as lz
+
+    cells, slots = tape.shape
+    flat = tape.reshape(-1)
+    valid = flat >= 0
+    is_match = flat >= TOK_MATCH_BIT
+    mlen = (flat >> 16) & 0x3FFF
+    mdist = flat & 0xFFFF
+    out_len = jnp.where(is_match, mlen, jnp.where(valid, 1, 0)).astype(jnp.int32)
+
+    base = jnp.repeat(block_out_base[cell_block], slots)
+    cum = jnp.cumsum(out_len)
+    out_pos = base + cum - out_len  # body positions (no window offset)
+
+    total = n_seg * SEG_BYTES
+    out_flat = jnp.zeros(total, jnp.int32)
+    lit_mask = valid & ~is_match
+    lit_tgt = jnp.where(lit_mask, out_pos, total)
+    out_flat = out_flat.at[lit_tgt].set(jnp.where(lit_mask, flat, 0), mode="drop")
+    if stored_val.shape[0]:
+        out_flat = out_flat.at[stored_pos].set(
+            stored_val.astype(jnp.int32), mode="drop"
+        )
+
+    # Split boundary-crossing matches: only the single match covering a
+    # segment edge crosses it (matches tile the output), so each match
+    # becomes (A: up to the edge) + (B: remainder, possibly empty).
+    boundary = (out_pos // SEG_BYTES + 1) * SEG_BYTES
+    len_a = jnp.minimum(mlen, boundary - out_pos)
+    len_b = mlen - len_a
+    pos_ab = jnp.stack([out_pos, boundary], axis=1).reshape(-1)
+    len_ab = jnp.stack([len_a, len_b], axis=1).reshape(-1)
+    dist_ab = jnp.stack([mdist, mdist], axis=1).reshape(-1)
+    real_ab = jnp.stack([is_match & (mlen > 0), is_match & (len_b > 0)],
+                        axis=1).reshape(-1)
+
+    # Per-segment slot = rank among real entries of the same segment
+    # (array order is execution order within each segment).
+    m_seg_cap = _round_pow2(SEG_BYTES // 3 + 4, 2048)
+    m_seg_rows = m_seg_cap // 128
+    seg_id = jnp.clip(pos_ab // SEG_BYTES, 0, n_seg - 1)
+    within = jnp.zeros_like(seg_id)
+    for s in range(n_seg):
+        in_s = (seg_id == s) & real_ab
+        within = jnp.where(in_s, jnp.cumsum(in_s.astype(jnp.int32)) - 1, within)
+    tgt2 = jnp.where(real_ab & (within < m_seg_cap),
+                     seg_id * m_seg_cap + within, n_seg * m_seg_cap)
+    # Local position inside the segment buffer (window prologue offset).
+    local_pos = pos_ab - seg_id * SEG_BYTES + lz.WINDOW
+    mpos_s = jnp.zeros(n_seg * m_seg_cap + 1, jnp.int32)
+    mmeta_s = jnp.zeros(n_seg * m_seg_cap + 1, jnp.int32)
+    mpos_s = mpos_s.at[tgt2].set(jnp.where(real_ab, local_pos, 0), mode="drop")
+    mmeta_s = mmeta_s.at[tgt2].set(
+        jnp.where(real_ab, (len_ab << 16) | dist_ab, 0), mode="drop"
+    )
+    mpos_seg = mpos_s[:-1].reshape(n_seg, m_seg_rows, 128)
+    mmeta_seg = mmeta_s[:-1].reshape(n_seg, m_seg_rows, 128)
+    body_seg = out_flat.reshape(n_seg, SEG_BYTES // 128, 128)
+
+    win_rows = lz.WINDOW // 128
+    slack = jnp.zeros((4, 128), jnp.int32)
+
+    def seg_step(tail, inp):
+        seg_body, mp, mm = inp
+        init = jnp.concatenate([tail, seg_body, slack], axis=0)
+        out2d = lz.resolve_matches(init, mp, mm, interpret=interpret)
+        body = out2d[win_rows:-4]
+        new_tail = out2d[-4 - win_rows : -4]
+        return new_tail, body
+
+    tail0 = jnp.zeros((win_rows, 128), jnp.int32)
+    _, outs = jax.lax.scan(seg_step, tail0, (body_seg, mpos_seg, mmeta_seg))
+    return outs.reshape(-1)  # (n_seg * SEG_BYTES,)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_bits", "slots", "n_seg", "exact", "interpret"),
+)
+def _inflate_v5_jit(arrays, n_bits, slots, n_seg, exact=False, interpret=False):
+    """Fused pipeline, segmented Phase B: arbitrary output size, one call."""
+    nxt, meta = build_graph_v3(arrays, n_bits)
+    tape, overflow, counts, sweeps = chase_cells(
+        nxt, meta, arrays["cell_entry"], n_bits, slots,
+        return_counts=True, exact=exact, cell_pend=arrays["cell_pend"],
+    )
+    body = resolve_tape_segmented(
+        tape, arrays["cell_block"], arrays["block_out_base"], n_seg,
+        arrays["stored_pos"], arrays["stored_val"], interpret=interpret,
+    )
+    return body, overflow
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_bits", "slots", "out_rows", "m_rows", "exact", "interpret"),

@@ -169,20 +169,17 @@ def decode_merged(streams: list[bytes]) -> list[bytes]:
         raise RuntimeError("merged decode requires the native scanner")
     arrays = v3.plan_arrays_v3(plan)
     interp = jax.default_backend() == "cpu"
-    out_rows = v3._round_pow2(-(-(plan.out_size + lz.WINDOW + lz.MAXLEN + 512) // 128), 64)
-    m_rows = v3._round_pow2(-(-(plan.out_size // 3 + 130) // 128), 16)
-    out2d, overflow = v3._inflate_v4_jit(
-        arrays, plan.n_bits, plan.slots, out_rows, m_rows,
-        exact=True, interpret=interp,
+    n_seg = v3._round_pow2(max(1, -(-plan.out_size // v3.SEG_BYTES)), 1)
+    body, overflow = v3._inflate_v5_jit(
+        arrays, plan.n_bits, plan.slots, n_seg, exact=True, interpret=interp
     )
     if bool(overflow):
-        out2d, overflow = v3._inflate_v4_jit(
-            arrays, plan.n_bits, v3.CELL_BITS + 1, out_rows, m_rows,
-            exact=True, interpret=interp,
+        body, overflow = v3._inflate_v5_jit(
+            arrays, plan.n_bits, v3.CELL_BITS + 1, n_seg, exact=True,
+            interpret=interp,
         )
         assert not bool(overflow)
-    flat = np.asarray(out2d).reshape(-1)
-    body = flat[lz.WINDOW : lz.WINDOW + plan.out_size].astype(np.uint8)
+    body = np.asarray(body[: plan.out_size]).astype(np.uint8)
     return [
         body[off : off + size].tobytes()
         for off, size in zip(mp.out_offsets, mp.out_sizes)
