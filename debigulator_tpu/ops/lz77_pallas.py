@@ -230,9 +230,16 @@ def _match_kernel(pos_ref, meta_ref, init_ref, out_ref):
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     def per_row(ri, _):
-        prow = pos_ref[pl.ds(ri, 1), :]
         mrow = meta_ref[pl.ds(ri, 1), :]
 
+        @pl.when(jnp.any(mrow >= (1 << 16)))  # skip all-padding rows
+        def _row():
+            prow = pos_ref[pl.ds(ri, 1), :]
+            per_lanes(prow, mrow)
+
+        return 0
+
+    def per_lanes(prow, mrow):
         def per_lane(j, _):
             cur = jnp.sum(jnp.where(iota == j, prow, 0))
             meta = jnp.sum(jnp.where(iota == j, mrow, 0))
