@@ -56,3 +56,32 @@ def test_png_batch_decode_sharded(corpus_dir):
     images = pipeline.decode_png_batch(datas, mesh=make_mesh(dp=8))
     for n, img in zip(names, images):
         assert hashlib.sha256(img.tobytes()).hexdigest() == GOLDEN[n]["sha256"]
+
+
+def test_gzip_device_multimember():
+    import gzip as pg
+
+    a, b = b"first " * 50, b"second " * 70
+    blob = pg.compress(a) + pg.compress(b)
+    assert pipeline.decode_gzip_device(blob) == a + b
+
+
+def test_png_negative_cases(corpus_dir):
+    import struct
+
+    import pytest as _pytest
+
+    from debigulator_tpu.models.png_codec import PngError, decode_png
+
+    data = bytearray((corpus_dir / "structuredart1.png").read_bytes())
+    # 16-bit depth → rejected
+    bad = bytearray(data)
+    bad[24] = 16
+    with _pytest.raises(PngError):
+        decode_png(bytes(bad))
+    # interlace → rejected explicitly (the reference only asserts in
+    # verbose builds, SURVEY §2.10.5)
+    bad = bytearray(data)
+    bad[28] = 1
+    with _pytest.raises(PngError):
+        decode_png(bytes(bad))
