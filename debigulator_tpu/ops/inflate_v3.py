@@ -104,37 +104,33 @@ class PlanV3:
     cell_pend: np.ndarray | None = None
 
 
+def _make_litlen_aug_table() -> np.ndarray:
+    """Per-symbol packed litlen info: bits 0-8 value (literal byte or length
+    base), bits 9-12 extra-bit count, bit 13 is_len, bit 14 is_eob."""
+    t = np.zeros(288, np.int32)
+    t[:256] = np.arange(256)
+    t[256] = 1 << 14
+    t[257:286] = C.LENGTH_BASE | (C.LENGTH_EXTRA_BITS << 9) | (1 << 13)
+    return t  # 286/287 reserved → 0 (corrupt-stream garbage)
+
+
+def _make_dist_aug_table() -> np.ndarray:
+    """Per-symbol packed dist info: bits 0-14 base, bits 15-18 extra bits."""
+    t = np.zeros(32, np.int32)
+    t[:30] = C.DIST_BASE | (C.DIST_EXTRA_BITS << 15)
+    return t
+
+
+_LL_AUG_TABLE = _make_litlen_aug_table()
+_D_AUG_TABLE = _make_dist_aug_table()
+
+
 def _augment_litlen(syms: np.ndarray, nsyms: int) -> np.ndarray:
-    """Pack per-decode-index litlen info: is_len/is_eob flags + extra bits +
-    base value.  Layout: bits 0-8 value (literal byte or length base),
-    bits 9-12 extra-bit count, bit 13 is_len, bit 14 is_eob."""
-    out = np.zeros(len(syms), np.int32)
-    for i, s in enumerate(syms):
-        s = int(s)
-        if s < 256:
-            out[i] = s
-        elif s == 256:
-            out[i] = 1 << 14
-        elif s > 285:
-            out[i] = 0  # reserved symbols 286/287: corrupt-stream garbage
-        else:
-            li = s - 257
-            out[i] = (
-                int(C.LENGTH_BASE[li])
-                | (int(C.LENGTH_EXTRA_BITS[li]) << 9)
-                | (1 << 13)
-            )
-    return out
+    return _LL_AUG_TABLE[np.asarray(syms, np.int64)]
 
 
 def _augment_dist(syms: np.ndarray) -> np.ndarray:
-    """Pack dist info: bits 0-14 base, bits 15-18 extra-bit count."""
-    out = np.zeros(len(syms), np.int32)
-    for i, s in enumerate(syms):
-        s = int(s)
-        if s <= 29:
-            out[i] = int(C.DIST_BASE[s]) | (int(C.DIST_EXTRA_BITS[s]) << 15)
-    return out
+    return _D_AUG_TABLE[np.asarray(syms, np.int64)]
 
 
 def build_plan_v3(data: bytes, blocks: list[BlockInfo], block_lengths,
