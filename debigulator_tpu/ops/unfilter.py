@@ -118,22 +118,61 @@ def filter_image_best(raw: np.ndarray, height: int, width: int, bpp: int) -> np.
     """Per-row best-of-5 filter search by minimum sum of |residual| as signed
     bytes (the stb/libpng MSAD heuristic, stb_write.h:1146-1170).
 
+    Filters depend only on *raw* neighbor rows, so all rows and all five
+    candidates compute at once (no row recurrence — unlike unfiltering).
     Returns (height*(1+width*bpp),) uint8 filtered stream.
     """
     stride = width * bpp
-    raw = np.asarray(raw, dtype=np.uint8).reshape(height, stride)
+    raw = np.asarray(raw, dtype=np.uint8).reshape(height, stride).astype(np.int32)
+    left = np.zeros_like(raw)
+    left[:, bpp:] = raw[:, :-bpp]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, bpp:] = raw[:-1, :-bpp]
+    cands = np.stack(
+        [
+            raw,
+            raw - left,
+            raw - up,
+            raw - ((left + up) >> 1),
+            raw - paeth(left, up, upleft).astype(np.int32),
+        ]
+    ).astype(np.uint8)  # (5, h, stride), mod 256
+    scores = np.abs(cands.astype(np.int8).astype(np.int32)).sum(axis=2)  # (5, h)
+    best_f = scores.argmin(axis=0)  # (h,)
     out = np.empty((height, 1 + stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        best, best_score, best_f = None, None, 0
-        for f in range(5):
-            cand = filter_row(raw[y], prev, bpp, f)
-            # Score: sum of absolute values interpreting bytes as signed.
-            s = cand.astype(np.int8).astype(np.int32)
-            score = int(np.abs(s).sum())
-            if best_score is None or score < best_score:
-                best, best_score, best_f = cand, score, f
-        out[y, 0] = best_f
-        out[y, 1:] = best
-        prev = raw[y]
+    out[:, 0] = best_f
+    out[:, 1:] = cands[best_f, np.arange(height)]
+    return out.reshape(-1)
+
+
+def filter_image_best_device(raw, height: int, width: int, bpp: int):
+    """jnp form of the filter search (device path; same MSAD heuristic)."""
+    import jax.numpy as jnp
+
+    stride = width * bpp
+    raw = jnp.asarray(raw).reshape(height, stride).astype(jnp.int32)
+    left = jnp.pad(raw, ((0, 0), (bpp, 0)))[:, :stride]
+    up = jnp.pad(raw, ((1, 0), (0, 0)))[:height]
+    upleft = jnp.pad(raw, ((1, 0), (bpp, 0)))[:height, :stride]
+
+    p = left + up - upleft
+    pa, pb, pc = jnp.abs(p - left), jnp.abs(p - up), jnp.abs(p - upleft)
+    paeth_pred = jnp.where(
+        (pa <= pb) & (pa <= pc), left, jnp.where(pb <= pc, up, upleft)
+    )
+    cands = (
+        jnp.stack(
+            [raw, raw - left, raw - up, raw - ((left + up) >> 1), raw - paeth_pred]
+        )
+        & 0xFF
+    )
+    signed = jnp.where(cands > 127, cands - 256, cands)
+    scores = jnp.abs(signed).sum(axis=2)
+    best_f = jnp.argmin(scores, axis=0)
+    chosen = jnp.take_along_axis(cands, best_f[None, :, None], axis=0)[0]
+    out = jnp.concatenate(
+        [best_f[:, None].astype(jnp.uint8), chosen.astype(jnp.uint8)], axis=1
+    )
     return out.reshape(-1)

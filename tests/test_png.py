@@ -118,3 +118,16 @@ def test_crc_corruption_detected(corpus_dir):
     data[40] ^= 0xFF  # clobber a byte inside IDAT/IHDR region
     with pytest.raises(Exception):
         png_codec.decode_png(bytes(data))
+
+
+def test_filter_search_device_matches_host():
+    import jax.numpy as jnp
+
+    from debigulator_tpu.ops.unfilter import filter_image_best, filter_image_best_device
+
+    rng = np.random.default_rng(9)
+    h, w, bpp = 23, 31, 4
+    raw = rng.integers(0, 256, (h, w * bpp), dtype=np.uint8)
+    host = filter_image_best(raw.reshape(-1), h, w, bpp)
+    dev = np.asarray(filter_image_best_device(jnp.asarray(raw.reshape(-1)), h, w, bpp))
+    np.testing.assert_array_equal(host, dev)
