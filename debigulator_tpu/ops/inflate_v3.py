@@ -301,7 +301,18 @@ def _rev15(x):
 
 
 def build_graph_v3(arrays, n_bits: int):
-    """NXT / EMIT over 2*n_bits states; ~2 true gathers per position."""
+    """NXT / EMIT over 2*n_bits states — gather-free on the hot path.
+
+    Measured on v5e: XLA gathers/scatters run serially (~7.5 ns/element),
+    so every per-position lookup here is either a broadcast from per-cell
+    vectors (free inside fusion) or an MXU one-hot matmul:
+
+    * per-(cell,length) decode params (count/first/base) come from six
+      tiny f32 HIGHEST matmuls (Cells,NB)x(NB,16) — exact (< 2^24);
+    * the canonical-offset -> packed-symbol lookup is an int8 one-hot
+      matmul against 7-bit planes of the table (5 planes cover 35 bits),
+      exact by construction, with a gather fallback for very large NB.
+    """
     num_cells = n_bits // CELL_BITS
     b8 = arrays["vbytes"].astype(jnp.uint32)
     w = b8[:-3] | (b8[1:-2] << 8) | (b8[2:-1] << 16) | (b8[3:] << 24)
@@ -315,23 +326,35 @@ def build_graph_v3(arrays, n_bits: int):
     rev = _rev15(win & jnp.uint32(0x7FFF))  # (N,)
 
     cb = arrays["cell_block"]  # (Cells,)
-    nbq = arrays["ll_count"].shape[0]
-
     nb = arrays["ll_count"].shape[0]
-    #: Small-NB streams use the MXU one-hot lookup (materialize the
-    #: (N, table) one-hot once, then NB f32 mat-vecs — ~3-5x cheaper than
-    #: serial XLA gathers at 7.5 ns/element); large-NB streams gather.
-    use_onehot = nb <= 16
+    #: int8 one-hot matmul lookup while NB*PLANES columns stay MXU-friendly;
+    #: beyond that fall back to the serial gather.
+    use_onehot = nb <= 64
+    N_PLANES = 5  # 7-bit planes: 35 bits >= 27 used by packed aug values
+
+    # Per-cell decode parameters via one small f32 matmul each (exact:
+    # all values < 2^24; HIGHEST avoids TPU bf16 multi-pass truncation).
+    cellsel = (
+        cb[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)  # (Cells, NB)
+
+    def percell(tab):  # (NB,16) -> (Cells,16) int32
+        return jnp.dot(
+            cellsel, tab.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
 
     def decode(count_t, first_t, base_t, aug_flat, aug_stride):
-        # Per-cell params broadcast per position (free inside fusion).
+        count_c = percell(count_t)
+        first_c = percell(first_t)
+        base_c = percell(base_t)
         length = jnp.zeros((num_cells, CELL_BITS), jnp.int32)
         offset = jnp.zeros((num_cells, CELL_BITS), jnp.int32)
         rev2 = rev.reshape(num_cells, CELL_BITS)
         for l in range(1, C.MAX_BITS + 1):
-            cnt = count_t[cb, l][:, None]  # (Cells,1) — tiny gather over NB
-            fst = first_t[cb, l][:, None]
-            bse = base_t[cb, l][:, None]
+            cnt = count_c[:, l][:, None]  # (Cells,1) broadcast — no gather
+            fst = first_c[:, l][:, None]
+            bse = base_c[:, l][:, None]
             code_l = rev2 >> (C.MAX_BITS - l)
             off_l = code_l - fst
             ok = (off_l >= 0) & (off_l < cnt) & (length == 0)
@@ -340,22 +363,30 @@ def build_graph_v3(arrays, n_bits: int):
         unmatched = length == 0
         length = jnp.where(unmatched, C.MAX_BITS, length)
         if use_onehot:
-            # aug[n] = Σ_k onehot(offset)[n,k] · aug_tab[block[n], k]
+            # Exact int8 MXU lookup: one-hot(offset) x 7-bit table planes.
+            tabs = aug_flat.reshape(nb, aug_stride)
+            planes = jnp.stack(
+                [(tabs >> (7 * k)) & 0x7F for k in range(N_PLANES)], axis=2
+            )  # (NB, stride, P) values in [0,127] — int8-safe
+            t8 = planes.transpose(1, 0, 2).reshape(
+                aug_stride, nb * N_PLANES
+            ).astype(jnp.int8)
             oh = (
                 offset.reshape(-1)[:, None]
                 == jnp.arange(aug_stride, dtype=jnp.int32)[None, :]
-            ).astype(jnp.float32)
-            tabs = aug_flat.reshape(nb, aug_stride).astype(jnp.float32)
-            # HIGHEST precision: TPU f32 matmuls default to bf16 passes,
-            # which silently corrupts table values ≥ 256 (verified on-chip).
-            per_block = jnp.dot(
-                oh, tabs.T, precision=jax.lax.Precision.HIGHEST
-            )  # (N, NB) — exact: values < 2^24
+            ).astype(jnp.int8)
+            out = jax.lax.dot_general(
+                oh, t8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(-1, nb, N_PLANES)
             blk_full = jnp.repeat(cb, CELL_BITS)
             sel = (
                 blk_full[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
-            )
-            aug = jnp.sum(jnp.where(sel, per_block, 0.0), axis=1).astype(jnp.int32)
+            )[:, :, None]
+            picked = jnp.sum(jnp.where(sel, out, 0), axis=1)  # (N, P)
+            aug = picked[:, 0]
+            for k in range(1, N_PLANES):
+                aug = aug | (picked[:, k] << (7 * k))
         else:
             idx = cb[:, None] * aug_stride + offset
             aug = aug_flat[idx.reshape(-1)]
@@ -372,7 +403,13 @@ def build_graph_v3(arrays, n_bits: int):
     )
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (n_bits, 1), 0).reshape(-1)
-    blk = jnp.repeat(cb, CELL_BITS)
+    # Per-cell EOB successor — matmul lookup, NOT an N-sized gather (values
+    # include TERMINAL=-2 and fit well under 2^24, so f32 HIGHEST is exact).
+    bne_cell = jnp.dot(
+        cellsel, arrays["block_next_entry"].astype(jnp.float32)[:, None],
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)  # (Cells, 1)
+    bne_pos = jnp.broadcast_to(bne_cell, (num_cells, CELL_BITS)).reshape(-1)
 
     # litlen mode
     lval = ll_aug & 0x1FF
@@ -383,9 +420,7 @@ def build_graph_v3(arrays, n_bits: int):
     length_val = lval + lextra
     adv_lit = ll_len + jnp.where(is_len == 1, leb, 0)
     nxt_lit = (pos + adv_lit) * 2 + jnp.where(is_len == 1, _DIST, _LIT)
-    nxt_lit = jnp.where(
-        is_eob == 1, arrays["block_next_entry"][blk], nxt_lit
-    )
+    nxt_lit = jnp.where(is_eob == 1, bne_pos, nxt_lit)
     # lit-state meta: kind LIT with byte payload, or NONE carrying the
     # pending match length for length symbols.
     meta_lit = jnp.where(
@@ -433,7 +468,7 @@ def chase_cells(nxt, meta, cell_entry, n_bits: int, slots: int,
         oh = lane_iota == s_local[:, None]
         return jnp.sum(jnp.where(oh, table, 0), axis=1)
 
-    lane_ids = jnp.arange(num_cells)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, slots + 1), 1)
 
     def chase(entry_state, entry_pend, tape):
         def cond(carry):
@@ -460,10 +495,12 @@ def chase_cells(nxt, meta, cell_entry, n_bits: int, slots: int,
             new_p = jnp.where(is_dist, 0, new_p)
             do_emit = active & (em >= 0)
             if tp is not None:
-                slot = jnp.where(do_emit & (cnt < slots), cnt, slots + 1)
-                tp = tp.at[lane_ids, slot].set(
-                    jnp.where(do_emit, em, -1), mode="drop"
-                )
+                # One-hot masked write (elementwise, VPU) — a per-step XLA
+                # scatter here costs ~7.5 ns/lane serially (measured).
+                upd = (
+                    slot_iota == cnt[:, None]
+                ) & (do_emit & (cnt < slots))[:, None]
+                tp = jnp.where(upd, em[:, None], tp)
             cnt = cnt + do_emit.astype(jnp.int32)
             s2 = jnp.where(active, nx, s)
             p2 = jnp.where(active, new_p, p)
@@ -612,16 +649,16 @@ def resolve_tape_fused(tape, cell_block, block_out_base, out_rows: int,
 
     base = jnp.repeat(block_out_base[cell_block], slots)
     cum = jnp.cumsum(out_len)
-    out_pos = base + cum - out_len + lz.WINDOW
+    out_pos = base + cum - out_len + lz.PAD + lz.WINDOW
 
     total = out_rows * 128
     out_flat = jnp.zeros(total, jnp.int32)
-    out_flat = out_flat.at[: lz.WINDOW].set(tail)
+    out_flat = out_flat.at[lz.PAD : lz.PAD + lz.WINDOW].set(tail)
     lit_mask = valid & ~is_match
     lit_tgt = jnp.where(lit_mask, out_pos, total)
     out_flat = out_flat.at[lit_tgt].set(jnp.where(lit_mask, flat, 0), mode="drop")
     if stored_val.shape[0]:
-        out_flat = out_flat.at[stored_pos + lz.WINDOW].set(
+        out_flat = out_flat.at[stored_pos + lz.PAD + lz.WINDOW].set(
             stored_val.astype(jnp.int32), mode="drop"
         )
 
@@ -630,14 +667,14 @@ def resolve_tape_fused(tape, cell_block, block_out_base, out_rows: int,
     midx = jnp.cumsum(is_match.astype(jnp.int32)) - 1
     m_cap = m_rows * 128
     tgt = jnp.where(is_match, midx, m_cap)
-    mpos = jnp.full(m_cap, lz.WINDOW, jnp.int32)
+    mpos = jnp.full(m_cap, lz.PAD + lz.WINDOW, jnp.int32)
     mpos = mpos.at[tgt].set(out_pos, mode="drop")
     mmeta = jnp.zeros(m_cap, jnp.int32)
     mmeta = mmeta.at[tgt].set(
         jnp.where(is_match, (mlen << 16) | mdist, 0), mode="drop"
     )
 
-    out2d = lz.resolve_matches(
+    out2d = lz.resolve_matches_v2(
         out_flat.reshape(out_rows, 128),
         mpos.reshape(m_rows, 128),
         mmeta.reshape(m_rows, 128),
@@ -704,8 +741,8 @@ def resolve_tape_segmented(tape, cell_block, block_out_base, n_seg: int,
         within = jnp.where(in_s, jnp.cumsum(in_s.astype(jnp.int32)) - 1, within)
     tgt2 = jnp.where(real_ab & (within < m_seg_cap),
                      seg_id * m_seg_cap + within, n_seg * m_seg_cap)
-    # Local position inside the segment buffer (window prologue offset).
-    local_pos = pos_ab - seg_id * SEG_BYTES + lz.WINDOW
+    # Local position inside the segment buffer (pad + window prologue).
+    local_pos = pos_ab - seg_id * SEG_BYTES + lz.PAD + lz.WINDOW
     mpos_s = jnp.zeros(n_seg * m_seg_cap + 1, jnp.int32)
     mmeta_s = jnp.zeros(n_seg * m_seg_cap + 1, jnp.int32)
     mpos_s = mpos_s.at[tgt2].set(jnp.where(real_ab, local_pos, 0), mode="drop")
@@ -717,13 +754,14 @@ def resolve_tape_segmented(tape, cell_block, block_out_base, n_seg: int,
     body_seg = out_flat.reshape(n_seg, SEG_BYTES // 128, 128)
 
     win_rows = lz.WINDOW // 128
+    pad = jnp.zeros((lz.PAD // 128, 128), jnp.int32)
     slack = jnp.zeros((4, 128), jnp.int32)
 
     def seg_step(tail, inp):
         seg_body, mp, mm = inp
-        init = jnp.concatenate([tail, seg_body, slack], axis=0)
-        out2d = lz.resolve_matches(init, mp, mm, interpret=interpret)
-        body = out2d[win_rows:-4]
+        init = jnp.concatenate([pad, tail, seg_body, slack], axis=0)
+        out2d = lz.resolve_matches_v2(init, mp, mm, interpret=interpret)
+        body = out2d[lz.PAD // 128 + win_rows : -4]
         new_tail = out2d[-4 - win_rows : -4]
         return new_tail, body
 
@@ -811,7 +849,9 @@ def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS,
     from debigulator_tpu.ops import lz77_pallas as lz
 
     if use_pallas and plan.out_size + lz.WINDOW + 512 <= lz.OUT_CAP + lz.WINDOW:
-        out_rows = _round_pow2(-(-(plan.out_size + lz.WINDOW + lz.MAXLEN + 512) // 128), 64)
+        out_rows = _round_pow2(
+            -(-(plan.out_size + lz.PAD + lz.WINDOW + lz.MAXLEN + 512) // 128), 64
+        )
         m_rows = _round_pow2(-(-(plan.out_size // 3 + 130) // 128), 16)
         interp = jax.default_backend() == "cpu"
         out2d, overflow = _inflate_v4_jit(
@@ -825,7 +865,8 @@ def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS,
             )
             assert not bool(overflow)
         flat = np.asarray(out2d).reshape(-1)
-        return flat[lz.WINDOW : lz.WINDOW + plan.out_size].astype(np.uint8).tobytes()
+        start = lz.PAD + lz.WINDOW
+        return flat[start : start + plan.out_size].astype(np.uint8).tobytes()
     out_pad = _round_pow2(max(plan.out_size, 1), 256)
     out, overflow, sweeps = _inflate_v3_jit(
         arrays, plan.n_bits, plan.slots, out_pad, exact=exact

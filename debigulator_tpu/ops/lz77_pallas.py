@@ -279,6 +279,121 @@ def _match_kernel(pos_ref, meta_ref, init_ref, out_ref):
     jax.lax.fori_loop(0, m_rows, per_row, 0)
 
 
+def _load_span4(out_ref, q):
+    """(SPAN_ROWS,128) int32 holding output bytes [q, q+512) flat-aligned.
+
+    The trailing (q & 127) lanes of the last row wrap around to the first
+    row — callers must only consume flat offsets f < 512 - (q & 127).
+    """
+    row = q >> 7
+    r = q & 127
+    a = out_ref[pl.ds(row, SPAN_ROWS), :]
+    ar = pltpu.roll(a, -r, axis=1)
+    nxt = jnp.concatenate([ar[1:], ar[:1]], axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SPAN_ROWS, 128), 1)
+    return jnp.where(lane < 128 - r, ar, nxt)
+
+
+def _copy_span(out_ref, src, dst, length):
+    """Copy output bytes [src, src+length) -> [dst, dst+length), length<=258.
+
+    One aligned load + one masked store: loading at q0 = src - (dst & 127)
+    yields a tile already on dst's row grid (byte (dst & ~127) + f sources
+    from q0 + f), so no second alignment pass is needed.  Requires
+    dst-region rows to exist (callers keep SPAN_ROWS of slack) and
+    src >= dst-alignment (guaranteed by the buffer's front pad row).
+    """
+    rp = dst & 127
+    q0 = src - rp
+    data = _load_span4(out_ref, q0)
+    flat = jax.lax.broadcasted_iota(jnp.int32, (SPAN_ROWS, 128), 0) * 128 + \
+        jax.lax.broadcasted_iota(jnp.int32, (SPAN_ROWS, 128), 1)
+    mask = (flat >= rp) & (flat < rp + length)
+    pltpu.store(out_ref.at[pl.ds(dst >> 7, SPAN_ROWS), :], data, mask=mask)
+
+
+def _match_kernel_v2(pos_ref, meta_ref, init_ref, out_ref):
+    """Lean match walk: one aligned load + one masked store per match.
+
+    pos_ref/meta_ref: (Mr, 128) int32 — match output positions (already
+    offset by PAD+WINDOW) and packed len<<16|dist; padding entries len 0.
+    init_ref aliases out_ref; row 0 of the buffer is a permanent pad row so
+    src - (dst & 127) is never negative (src >= PAD - 127 > 0 always).
+    """
+    del init_ref
+    m_rows = pos_ref.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def per_lane(j, carry):
+        prow, mrow = carry
+        meta = jnp.sum(jnp.where(iota == j, mrow, 0))
+        length = meta >> 16
+        dist = meta & 0xFFFF
+
+        @pl.when(length > 0)
+        def _():
+            cur = jnp.sum(jnp.where(iota == j, prow, 0))
+            src = cur - dist
+
+            @pl.when(dist >= length)
+            def _plain():
+                _copy_span(out_ref, src, cur, length)
+
+            @pl.when(dist < length)
+            def _overlap():
+                n0 = jnp.minimum(dist, length)
+                _copy_span(out_ref, src, cur, n0)
+
+                def grow(k, avail):
+                    @pl.when(avail < length)
+                    def _():
+                        n_new = jnp.minimum(avail, length - avail)
+                        _copy_span(out_ref, cur, cur + avail, n_new)
+                    return jnp.minimum(avail * 2, length)
+
+                jax.lax.fori_loop(0, 9, grow, n0)
+
+        return carry
+
+    def per_row(ri, _):
+        mrow = meta_ref[pl.ds(ri, 1), :]
+
+        @pl.when(jnp.any(mrow >= (1 << 16)))  # skip all-padding rows
+        def _row():
+            prow = pos_ref[pl.ds(ri, 1), :]
+            jax.lax.fori_loop(0, 128, per_lane, (prow, mrow))
+
+        return 0
+
+    jax.lax.fori_loop(0, m_rows, per_row, 0)
+
+
+#: Front pad bytes on every v2 kernel buffer (one full row).
+PAD = 128
+
+
+def resolve_matches_v2(out_init, match_pos, match_meta,
+                       interpret: bool = False):
+    """Run the v2 match kernel inside jit.
+
+    out_init: (rows, 128) int32 — row 0 is the pad row, then the window
+    prologue rows, then the body with literals pre-scattered.
+    match_pos/match_meta: (Mr, 128) int32; positions include PAD+WINDOW.
+    """
+    return pl.pallas_call(
+        _match_kernel_v2,
+        out_shape=jax.ShapeDtypeStruct(out_init.shape, jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(match_pos, match_meta, out_init)
+
+
 def resolve_matches(out_init, match_pos, match_meta, interpret: bool = False):
     """Run the match kernel inside jit.
 
