@@ -46,12 +46,20 @@ def _scan_raw(data: bytes, produce_output: bool, cell_bits: int = 0):
     cs_ptr = cp_ptr = None
     max_cells = 0
     n_cells = ctypes.c_int64(0)
-    if cell_bits:
+
+    def _alloc_cells():
+        # Every block is padded to a cell boundary, so the bound must grow
+        # with max_blocks (streams like extraturns.png pack 800+ sub-cell
+        # fixed blocks into a few KB).
+        nonlocal cell_states, cell_pend, cs_ptr, cp_ptr, max_cells
         max_cells = (len(data) * 8) // cell_bits + max_blocks + 16
         cell_states = np.zeros(max_cells, np.int64)
         cell_pend = np.zeros(max_cells, np.int32)
         cs_ptr = cell_states.ctypes.data_as(ctypes.c_void_p)
         cp_ptr = cell_pend.ctypes.data_as(ctypes.c_void_p)
+
+    if cell_bits:
+        _alloc_cells()
     while True:
         if produce_output:
             out_buf = np.zeros(out_cap, np.uint8)
@@ -78,6 +86,14 @@ def _scan_raw(data: bytes, produce_output: bool, cell_bits: int = 0):
             max_blocks *= 4
             blocks = (_BlockRec * max_blocks)()
             lengths = np.zeros(max_blocks * 320, np.int32)
+            if cell_bits:
+                _alloc_cells()
+            continue
+        if nb == -4 and cell_bits:
+            max_blocks *= 4
+            blocks = (_BlockRec * max_blocks)()
+            lengths = np.zeros(max_blocks * 320, np.int32)
+            _alloc_cells()
             continue
         if nb < 0:
             raise InflateError(f"native scan failed (code {nb})")

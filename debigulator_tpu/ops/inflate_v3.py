@@ -66,6 +66,14 @@ TOK_MATCH_BIT = 1 << 30
 #: Terminal state after the final EOB: outside every cell window.
 TERMINAL = -2
 
+#: Symbol-lookup paging: NB <= DIRECT_NB_MAX uses one int8 matmul against
+#: all blocks' tables; larger NB scans TILE_CELLS-cell tiles, each against
+#: a dynamic PAGE_NB-block window (valid when cell_block is monotone and
+#: no tile spans more than PAGE_NB blocks — checked on host).
+DIRECT_NB_MAX = 64
+PAGE_NB = 32
+TILE_CELLS = 512
+
 
 def _round_pow2(n: int, lo: int = 256) -> int:
     p = lo
@@ -220,13 +228,19 @@ def build_plan_v3(data: bytes, blocks: list[BlockInfo], block_lengths,
     cell_entry = np.full(num_cells, -1, np.int32)
     cell_pend = np.zeros(num_cells, np.int32)
     exact = False
+    cells_used = 0
     for b in comp_blocks:
         info = blocks[b]
         nbits_b = info.end_bit - info.data_start_bit
         ncells = max(1, -(-nbits_b // CELL_BITS))
         c0 = int(vbase[b]) // CELL_BITS
         cell_block[c0 : c0 + ncells] = b
+        cells_used = c0 + ncells
         cell_entry[c0] = int(vbase[b]) * 2 + _LIT
+    if comp_blocks:
+        # Trailing padding cells inherit the last block id so cell_block
+        # stays monotone (required by the paged symbol lookup).
+        cell_block[cells_used:] = comp_blocks[-1]
     if cells is not None:
         # Exact scanner-recorded entries: one per used cell; -1 = no code
         # starts in the cell (its lane stays inactive).
@@ -265,8 +279,32 @@ def build_plan_v3(data: bytes, blocks: list[BlockInfo], block_lengths,
     )
 
 
+def tile_page_map(cell_block: np.ndarray, nb: int) -> np.ndarray | None:
+    """Per-tile table-page base for the paged symbol lookup, or None when
+    paging can't cover this plan (non-monotone cell_block or a tile
+    spanning more than PAGE_NB blocks)."""
+    num_cells = len(cell_block)
+    tc = min(TILE_CELLS, num_cells)
+    if num_cells % tc:
+        return None
+    if np.any(np.diff(cell_block.astype(np.int64)) < 0):
+        return None
+    cb2 = cell_block.reshape(-1, tc)
+    nbp = max(nb, PAGE_NB)
+    pb = np.minimum(cb2[:, 0], nbp - PAGE_NB).astype(np.int32)
+    if np.any(cb2[:, -1] - pb >= PAGE_NB):
+        return None
+    return pb
+
+
 def plan_arrays_v3(plan: PlanV3) -> dict:
-    return {
+    arrays = {}
+    nb = plan.ll_count.shape[0]
+    if nb > DIRECT_NB_MAX:
+        pb = tile_page_map(plan.cell_block, nb)
+        if pb is not None:
+            arrays["tile_page"] = jnp.asarray(pb)
+    arrays.update({
         "vbytes": jnp.asarray(plan.vbytes),
         "cell_block": jnp.asarray(plan.cell_block),
         "cell_entry": jnp.asarray(plan.cell_entry),
@@ -284,11 +322,17 @@ def plan_arrays_v3(plan: PlanV3) -> dict:
         "d_base": jnp.asarray(plan.d_base),
         "d_aug_flat": jnp.asarray(plan.d_aug.reshape(-1)),
         "block_next_entry": jnp.asarray(plan.block_next_entry),
+        # Host-expanded per-cell EOB successor ((Cells,) is cheap to ship;
+        # avoids both an N-gather and a (Cells,NB) one-hot at large NB).
+        "bne_cell": jnp.asarray(
+            plan.block_next_entry[plan.cell_block].astype(np.int32)
+        ),
         "block_out_base": jnp.asarray(plan.block_out_base),
         "stored_pos": jnp.asarray(plan.stored_pos),
         "stored_val": jnp.asarray(plan.stored_val),
         "first_state": jnp.int32(plan.first_state),
-    }
+    })
+    return arrays
 
 
 def _rev15(x):
@@ -327,32 +371,34 @@ def build_graph_v3(arrays, n_bits: int):
 
     cb = arrays["cell_block"]  # (Cells,)
     nb = arrays["ll_count"].shape[0]
-    #: int8 one-hot matmul lookup while NB*PLANES columns stay MXU-friendly;
-    #: beyond that fall back to the serial gather.
-    use_onehot = nb <= 64
+    # Lookup mode (static at trace time): small NB uses the direct int8
+    # matmul; large NB with a valid page map scans cell tiles, each matmul
+    # against a dynamic PAGE_NB-block table window; otherwise gather.
+    if nb <= DIRECT_NB_MAX:
+        mode = "direct"
+    elif "tile_page" in arrays:
+        mode = "paged"
+    else:
+        mode = "gather"
     N_PLANES = 5  # 7-bit planes: 35 bits >= 27 used by packed aug values
 
-    # Per-cell decode parameters via one small f32 matmul each (exact:
-    # all values < 2^24; HIGHEST avoids TPU bf16 multi-pass truncation).
-    cellsel = (
-        cb[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
-    ).astype(jnp.float32)  # (Cells, NB)
+    def planes_of(aug_flat, aug_stride, rows):
+        tabs = aug_flat.reshape(rows, aug_stride)
+        return jnp.stack(
+            [(tabs >> (7 * k)) & 0x7F for k in range(N_PLANES)], axis=2
+        )  # (rows, stride, P) values in [0,127] — int8-safe
 
-    def percell(tab):  # (NB,16) -> (Cells,16) int32
-        return jnp.dot(
-            cellsel, tab.astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST,
-        ).astype(jnp.int32)
+    def combine_planes(picked):  # (M, P) int32 -> (M,) packed value
+        aug = picked[:, 0]
+        for k in range(1, N_PLANES):
+            aug = aug | (picked[:, k] << (7 * k))
+        return aug
 
-    def decode(count_t, first_t, base_t, aug_flat, aug_stride):
-        count_c = percell(count_t)
-        first_c = percell(first_t)
-        base_c = percell(base_t)
-        length = jnp.zeros((num_cells, CELL_BITS), jnp.int32)
-        offset = jnp.zeros((num_cells, CELL_BITS), jnp.int32)
-        rev2 = rev.reshape(num_cells, CELL_BITS)
+    def length_loop(rev2, count_c, first_c, base_c, rows):
+        length = jnp.zeros((rows, CELL_BITS), jnp.int32)
+        offset = jnp.zeros((rows, CELL_BITS), jnp.int32)
         for l in range(1, C.MAX_BITS + 1):
-            cnt = count_c[:, l][:, None]  # (Cells,1) broadcast — no gather
+            cnt = count_c[:, l][:, None]  # broadcast — no gather
             fst = first_c[:, l][:, None]
             bse = base_c[:, l][:, None]
             code_l = rev2 >> (C.MAX_BITS - l)
@@ -362,15 +408,31 @@ def build_graph_v3(arrays, n_bits: int):
             offset = jnp.where(ok, bse + off_l, offset)
         unmatched = length == 0
         length = jnp.where(unmatched, C.MAX_BITS, length)
-        if use_onehot:
+        return length, offset, unmatched
+
+    if mode != "paged":
+        # Per-cell decode params via one small f32 matmul each (exact:
+        # all values < 2^24; HIGHEST avoids bf16 multi-pass truncation).
+        cellsel = (
+            cb[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)  # (Cells, NB)
+
+        def percell(tab):  # (NB,16) -> (Cells,16) int32
+            return jnp.dot(
+                cellsel, tab.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(jnp.int32)
+
+    def decode(count_t, first_t, base_t, aug_flat, aug_stride):
+        rev2 = rev.reshape(num_cells, CELL_BITS)
+        length, offset, unmatched = length_loop(
+            rev2, percell(count_t), percell(first_t), percell(base_t),
+            num_cells,
+        )
+        if mode == "direct":
             # Exact int8 MXU lookup: one-hot(offset) x 7-bit table planes.
-            tabs = aug_flat.reshape(nb, aug_stride)
-            planes = jnp.stack(
-                [(tabs >> (7 * k)) & 0x7F for k in range(N_PLANES)], axis=2
-            )  # (NB, stride, P) values in [0,127] — int8-safe
-            t8 = planes.transpose(1, 0, 2).reshape(
-                aug_stride, nb * N_PLANES
-            ).astype(jnp.int8)
+            t8 = planes_of(aug_flat, aug_stride, nb).transpose(1, 0, 2)
+            t8 = t8.reshape(aug_stride, nb * N_PLANES).astype(jnp.int8)
             oh = (
                 offset.reshape(-1)[:, None]
                 == jnp.arange(aug_stride, dtype=jnp.int32)[None, :]
@@ -383,15 +445,74 @@ def build_graph_v3(arrays, n_bits: int):
             sel = (
                 blk_full[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
             )[:, :, None]
-            picked = jnp.sum(jnp.where(sel, out, 0), axis=1)  # (N, P)
-            aug = picked[:, 0]
-            for k in range(1, N_PLANES):
-                aug = aug | (picked[:, k] << (7 * k))
+            aug = combine_planes(jnp.sum(jnp.where(sel, out, 0), axis=1))
         else:
             idx = cb[:, None] * aug_stride + offset
             aug = aug_flat[idx.reshape(-1)]
         aug = jnp.where(unmatched.reshape(-1), 0, aug)
         return aug, length.reshape(-1)
+
+    def decode_paged(count_t, first_t, base_t, aug_flat, aug_stride):
+        """lax.scan over cell tiles; every per-tile lookup hits only the
+        dynamic [page, page+PAGE_NB) window of the block tables."""
+        tc = min(TILE_CELLS, num_cells)
+        n_tiles = num_cells // tc
+        nbp = max(nb, PAGE_NB)
+        padn = nbp - nb
+        count_p = jnp.pad(count_t, ((0, padn), (0, 0))).astype(jnp.float32)
+        first_p = jnp.pad(first_t, ((0, padn), (0, 0))).astype(jnp.float32)
+        base_p = jnp.pad(base_t, ((0, padn), (0, 0))).astype(jnp.float32)
+        planes_p = jnp.pad(
+            planes_of(aug_flat, aug_stride, nb), ((0, padn), (0, 0), (0, 0))
+        ).astype(jnp.int8)  # (nbp, stride, P)
+        iota_stride = jnp.arange(aug_stride, dtype=jnp.int32)
+        iota_page = jnp.arange(PAGE_NB, dtype=jnp.int32)
+        rev_t = rev.reshape(n_tiles, tc, CELL_BITS)
+        cb_t = cb.reshape(n_tiles, tc)
+        pb_t = arrays["tile_page"]
+
+        def tile_fn(carry, xs):
+            rev2, cbt, pb = xs
+            lblk = cbt - pb  # (tc,) in [0, PAGE_NB)
+            csel = (lblk[:, None] == iota_page[None, :]).astype(jnp.float32)
+
+            def percell_p(tab_p):
+                page = jax.lax.dynamic_slice(tab_p, (pb, 0), (PAGE_NB, 16))
+                return jnp.dot(
+                    csel, page, precision=jax.lax.Precision.HIGHEST
+                ).astype(jnp.int32)
+
+            length, offset, unmatched = length_loop(
+                rev2, percell_p(count_p), percell_p(first_p),
+                percell_p(base_p), tc,
+            )
+            page_pl = jax.lax.dynamic_slice(
+                planes_p, (pb, 0, 0), (PAGE_NB, aug_stride, N_PLANES)
+            )
+            t8 = page_pl.transpose(1, 0, 2).reshape(
+                aug_stride, PAGE_NB * N_PLANES
+            )
+            oh = (
+                offset.reshape(-1)[:, None] == iota_stride[None, :]
+            ).astype(jnp.int8)
+            out = jax.lax.dot_general(
+                oh, t8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(-1, PAGE_NB, N_PLANES)
+            sel = (
+                jnp.repeat(lblk, CELL_BITS)[:, None] == iota_page[None, :]
+            )[:, :, None]
+            aug = combine_planes(jnp.sum(jnp.where(sel, out, 0), axis=1))
+            aug = jnp.where(unmatched.reshape(-1), 0, aug)
+            return carry, (aug.reshape(tc, CELL_BITS), length)
+
+        _, (aug_s, len_s) = jax.lax.scan(
+            tile_fn, jnp.int32(0), (rev_t, cb_t, pb_t)
+        )
+        return aug_s.reshape(-1), len_s.reshape(-1)
+
+    if mode == "paged":
+        decode = decode_paged
 
     ll_aug, ll_len = decode(
         arrays["ll_count"], arrays["ll_first"], arrays["ll_base"],
@@ -403,13 +524,10 @@ def build_graph_v3(arrays, n_bits: int):
     )
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (n_bits, 1), 0).reshape(-1)
-    # Per-cell EOB successor — matmul lookup, NOT an N-sized gather (values
-    # include TERMINAL=-2 and fit well under 2^24, so f32 HIGHEST is exact).
-    bne_cell = jnp.dot(
-        cellsel, arrays["block_next_entry"].astype(jnp.float32)[:, None],
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(jnp.int32)  # (Cells, 1)
-    bne_pos = jnp.broadcast_to(bne_cell, (num_cells, CELL_BITS)).reshape(-1)
+    # Per-cell EOB successor — host-expanded vector, broadcast per position.
+    bne_pos = jnp.broadcast_to(
+        arrays["bne_cell"][:, None], (num_cells, CELL_BITS)
+    ).reshape(-1)
 
     # litlen mode
     lval = ll_aug & 0x1FF
@@ -674,10 +792,11 @@ def resolve_tape_fused(tape, cell_block, block_out_base, out_rows: int,
         jnp.where(is_match, (mlen << 16) | mdist, 0), mode="drop"
     )
 
-    out2d = lz.resolve_matches_v2(
+    out2d = lz.resolve_matches_v4(
         out_flat.reshape(out_rows, 128),
         mpos.reshape(m_rows, 128),
         mmeta.reshape(m_rows, 128),
+        n_matches=jnp.sum(is_match.astype(jnp.int32)),
         interpret=interpret,
     )
     return out2d
@@ -736,9 +855,11 @@ def resolve_tape_segmented(tape, cell_block, block_out_base, n_seg: int,
     m_seg_rows = m_seg_cap // 128
     seg_id = jnp.clip(pos_ab // SEG_BYTES, 0, n_seg - 1)
     within = jnp.zeros_like(seg_id)
+    seg_counts = jnp.zeros(n_seg, jnp.int32)
     for s in range(n_seg):
         in_s = (seg_id == s) & real_ab
         within = jnp.where(in_s, jnp.cumsum(in_s.astype(jnp.int32)) - 1, within)
+        seg_counts = seg_counts.at[s].set(jnp.sum(in_s.astype(jnp.int32)))
     tgt2 = jnp.where(real_ab & (within < m_seg_cap),
                      seg_id * m_seg_cap + within, n_seg * m_seg_cap)
     # Local position inside the segment buffer (pad + window prologue).
@@ -758,15 +879,18 @@ def resolve_tape_segmented(tape, cell_block, block_out_base, n_seg: int,
     slack = jnp.zeros((4, 128), jnp.int32)
 
     def seg_step(tail, inp):
-        seg_body, mp, mm = inp
+        seg_body, mp, mm, cnt = inp
         init = jnp.concatenate([pad, tail, seg_body, slack], axis=0)
-        out2d = lz.resolve_matches_v2(init, mp, mm, interpret=interpret)
+        out2d = lz.resolve_matches_v4(init, mp, mm, n_matches=cnt,
+                                      interpret=interpret)
         body = out2d[lz.PAD // 128 + win_rows : -4]
         new_tail = out2d[-4 - win_rows : -4]
         return new_tail, body
 
     tail0 = jnp.zeros((win_rows, 128), jnp.int32)
-    _, outs = jax.lax.scan(seg_step, tail0, (body_seg, mpos_seg, mmeta_seg))
+    _, outs = jax.lax.scan(
+        seg_step, tail0, (body_seg, mpos_seg, mmeta_seg, seg_counts)
+    )
     return outs.reshape(-1)  # (n_seg * SEG_BYTES,)
 
 

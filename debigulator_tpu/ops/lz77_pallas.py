@@ -371,6 +371,169 @@ def _match_kernel_v2(pos_ref, meta_ref, init_ref, out_ref):
 #: Front pad bytes on every v2 kernel buffer (one full row).
 PAD = 128
 
+#: v4 kernel: matches processed per speculative group (loads issue before
+#: stores -> no per-match read-after-write stall when the group is clean).
+GROUP = 8
+#: SMEM staging chunk: rows of 128 matches DMA'd HBM->SMEM at a time.
+CHUNK_ROWS = 8
+
+
+def _match_kernel_v4(nm_ref, pos_hbm, meta_hbm, init_ref, out_ref):
+    """Grouped match walk with SMEM-staged metadata.
+
+    pos_hbm/meta_hbm: (Mr, 128) int32 in HBM/ANY — match positions (offset
+    by PAD+WINDOW; padding entries pos=PAD+WINDOW, meta=0) and packed
+    len<<16|dist.  init_ref aliases out_ref.
+
+    Per GROUP of 8 matches: read scalars from SMEM, issue all 8 aligned
+    source loads (program order: loads precede stores, so Mosaic pipelines
+    them), check pairwise that no source range intersects an earlier
+    group member's destination range and no member self-overlaps
+    (dist < len), then commit all 8 masked stores.  Dirty groups fall back
+    to the strictly serial per-match path (correct for RLE overlap via
+    pattern doubling).
+    """
+    del init_ref
+    m_rows = pos_hbm.shape[0]
+    n_matches = nm_ref[0]
+    # Only walk chunks/groups that contain real matches (the static match
+    # capacity is sized for the worst case and is mostly padding).
+    n_chunks = jnp.minimum(
+        (n_matches + CHUNK_ROWS * 128 - 1) // (CHUNK_ROWS * 128),
+        -(-m_rows // CHUNK_ROWS),
+    )
+
+    def body(pos_s, meta_s, sem):
+        def per_chunk(ci, _):
+            r0 = ci * CHUNK_ROWS
+            d1 = pltpu.make_async_copy(
+                pos_hbm.at[pl.ds(r0, CHUNK_ROWS), :], pos_s, sem)
+            d1.start()
+            d1.wait()
+            d2 = pltpu.make_async_copy(
+                meta_hbm.at[pl.ds(r0, CHUNK_ROWS), :], meta_s, sem)
+            d2.start()
+            d2.wait()
+
+            def serial_one(i, _):
+                r, l = i >> 7, i & 127
+                meta = meta_s[r, l]
+                length = meta >> 16
+
+                @pl.when(length > 0)
+                def _():
+                    cur = pos_s[r, l]
+                    dist = meta & 0xFFFF
+                    src = cur - dist
+
+                    @pl.when(dist >= length)
+                    def _plain():
+                        _copy_span(out_ref, src, cur, length)
+
+                    @pl.when(dist < length)
+                    def _overlap():
+                        n0 = jnp.minimum(dist, length)
+                        _copy_span(out_ref, src, cur, n0)
+
+                        def grow(k, avail):
+                            @pl.when(avail < length)
+                            def _():
+                                n_new = jnp.minimum(avail, length - avail)
+                                _copy_span(out_ref, cur, cur + avail, n_new)
+                            return jnp.minimum(avail * 2, length)
+
+                        jax.lax.fori_loop(0, 9, grow, n0)
+
+                return 0
+
+            def per_group(gi, _):
+                i0 = gi * GROUP
+                metas = [meta_s[(i0 + g) >> 7, (i0 + g) & 127]
+                         for g in range(GROUP)]
+                poss = [pos_s[(i0 + g) >> 7, (i0 + g) & 127]
+                        for g in range(GROUP)]
+                lens = [m >> 16 for m in metas]
+                dsts = poss
+                srcs = [p - (m & 0xFFFF) for p, m in zip(poss, metas)]
+
+                # Clean: every member plain (dist >= len, incl. len==0
+                # padding: src == dst there, dist 0 >= 0) and no source
+                # range touches an earlier member's destination range.
+                clean = jnp.bool_(True)
+                for g in range(GROUP):
+                    clean &= (dsts[g] - srcs[g]) >= lens[g]
+                    for i in range(g):
+                        hit = (srcs[g] < dsts[i] + lens[i]) & \
+                              (srcs[g] + lens[g] > dsts[i])
+                        clean &= jnp.logical_not(hit & (lens[i] > 0)
+                                                 & (lens[g] > 0))
+
+                @pl.when(clean)
+                def _fast():
+                    datas = []
+                    for g in range(GROUP):
+                        rp = dsts[g] & 127
+                        datas.append(_load_span4(out_ref, srcs[g] - rp))
+                    flat = jax.lax.broadcasted_iota(
+                        jnp.int32, (SPAN_ROWS, 128), 0) * 128 + \
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (SPAN_ROWS, 128), 1)
+                    for g in range(GROUP):
+                        rp = dsts[g] & 127
+                        mask = (flat >= rp) & (flat < rp + lens[g])
+                        pltpu.store(
+                            out_ref.at[pl.ds(dsts[g] >> 7, SPAN_ROWS), :],
+                            datas[g], mask=mask)
+
+                @pl.when(jnp.logical_not(clean))
+                def _slow():
+                    jax.lax.fori_loop(i0, i0 + GROUP, serial_one, 0)
+
+                return 0
+
+            # Groups left in this chunk (last chunk is usually partial).
+            remaining = n_matches - ci * CHUNK_ROWS * 128
+            n_groups = jnp.clip(
+                (remaining + GROUP - 1) // GROUP, 0, CHUNK_ROWS * 128 // GROUP
+            )
+            jax.lax.fori_loop(0, n_groups, per_group, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, per_chunk, 0)
+
+    pl.run_scoped(
+        body,
+        pos_s=pltpu.SMEM((CHUNK_ROWS, 128), jnp.int32),
+        meta_s=pltpu.SMEM((CHUNK_ROWS, 128), jnp.int32),
+        sem=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def resolve_matches_v4(out_init, match_pos, match_meta, n_matches=None,
+                       interpret: bool = False):
+    """Run the v4 (grouped, SMEM-staged) match kernel inside jit.
+
+    match_pos rows must be a multiple of CHUNK_ROWS; padding entries carry
+    meta=0 and an in-bounds pos.  n_matches (traced scalar ok) bounds the
+    walk; matches must be compacted to the front.  Defaults to capacity.
+    """
+    if n_matches is None:
+        n_matches = match_pos.shape[0] * 128
+    nm = jnp.asarray(n_matches, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        _match_kernel_v4,
+        out_shape=jax.ShapeDtypeStruct(out_init.shape, jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(nm, match_pos, match_meta, out_init)
+
 
 def resolve_matches_v2(out_init, match_pos, match_meta,
                        interpret: bool = False):

@@ -61,6 +61,10 @@ def stack_plans(plans: list[v3.PlanV3]) -> tuple[dict, dict]:
         "block_next_entry": stk(
             lambda p: p.block_next_entry, (nb_max,), fill=v3.TERMINAL
         ),
+        "bne_cell": stk(
+            lambda p: p.block_next_entry[p.cell_block].astype(np.int32),
+            (cells_max,), fill=v3.TERMINAL,
+        ),
         "block_out_base": stk(lambda p: p.block_out_base, (nb_max,)),
         "stored_pos": stk(lambda p: p.stored_pos, (stored_max,), fill=out_max),
         "stored_val": stk(lambda p: p.stored_val, (stored_max,)),

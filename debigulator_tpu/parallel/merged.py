@@ -131,7 +131,9 @@ def build_merged_plan(streams: list[bytes]) -> MergedPlan:
         vbytes=vbytes,
         n_bits=n_bits,
         num_cells=num_cells,
-        cell_block=pad_cells(cell_block_parts, 0).astype(np.int32),
+        cell_block=pad_cells(
+            cell_block_parts, int(cell_block_parts[-1][-1]) if cell_block_parts else 0
+        ).astype(np.int32),
         cell_entry=pad_cells(cell_entry_parts, -1).astype(np.int32),
         ll_count=np.concatenate(ll_parts["count"]),
         ll_first=np.concatenate(ll_parts["first"]),

@@ -24,7 +24,10 @@ def test_gzip_device_corpus(corpus_dir):
     assert pipeline.decode_gzip_device(raw) == pygzip.decompress(raw)
 
 
-@pytest.mark.parametrize("name", ["structuredart1", "font"])
+#: extraturns regression: 801 sub-cell fixed-Huffman blocks in 5 KB used to
+#: overflow the native scanner's cell buffer (error -4) and exercises the
+#: large-NB gather lookup (tile paging refuses dense blocks).
+@pytest.mark.parametrize("name", ["structuredart1", "font", "extraturns"])
 def test_png_device_corpus(name, corpus_dir):
     data = (corpus_dir / f"{name}.png").read_bytes()
     rgba = pipeline.decode_png_device(data)
