@@ -11,10 +11,12 @@ stream at VPU rates.  v3 therefore spends its work in element-wise form:
   and block entry states coincide with pinned cell starts.
 * **Per-cell parameters.**  Each cell belongs to one block, so per-length
   decode parameters (count/first/base, RFC 1951 §3.2.2) broadcast from
-  per-cell vectors (one small one-hot matmul over NB), not per-position
-  gathers.  The only true gathers left are the two per-position symbol
-  lookups (litlen + dist) into value-augmented symbol tables — 2 gathers
-  per bit position total (v2 used ~90).
+  per-cell vectors (small one-hot f32 matmuls over NB), not per-position
+  gathers.  The per-position symbol lookups (litlen + dist) are exact
+  int8 one-hot MXU matmuls against 7-bit table planes — direct for
+  NB <= 64, tile-paged (lax.scan + dynamic 32-block table window) for
+  merged batches, serial-gather fallback for dense-block streams.  The
+  hot path has NO per-position gathers or scatters at all.
 * **Cell chase with exact fixpoint.**  Cells are lanes.  A decode step is
   ``next = Σ_k onehot(s_local)·T_cell[k]`` — element-wise multiply +
   reduce over the 128-entry cell window, no gather.  Entry states feed
@@ -23,8 +25,13 @@ stream at VPU rates.  v3 therefore spends its work in element-wise form:
   convergence check makes it exact.  Emissions land in per-cell tape rows
   (dense column writes), already in stream order.
 
-Phase B (LZ77) consumes the tape either through the Pallas token kernel
-(ops.lz77_pallas) or the XLA fallback resolver.
+Phase B (LZ77) consumes the tape through the v6 full-tape Pallas kernel
+(ops.lz77_pallas._tape_kernel_v6): literal runs commit as rolled masked
+vector stores straight from the tape rows, matches resolve in speculative
+groups of 8 (all loads issue before all stores, so clean groups pipeline
+instead of stalling on read-after-write), and output segments scan with a
+32 KiB window carry.  An XLA fallback resolver covers vmap/shard_map
+paths.
 """
 
 from __future__ import annotations
@@ -46,10 +53,11 @@ from debigulator_tpu.ops.inflate_ref import BlockInfo
 #: win outright.
 CELL_BITS = 64
 CELL_STATES = 2 * CELL_BITS
-#: Tape slots per cell.  ≥ CELL_BITS is always exact; smaller values are
-#: verified at runtime via the per-cell emission count (overflow → the
-#: caller retries with the exact bound).
-DEFAULT_SLOTS = 24
+#: Tape slots per cell.  CELL_BITS is always exact (every token consumes
+#: >=1 bit); smaller values are verified at runtime via the per-cell
+#: emission count (overflow -> the caller retries with the exact bound).
+#: 16 keeps the tape a 128-lane-friendly 8-cells-per-row layout.
+DEFAULT_SLOTS = 16
 
 # meta[state] packing: bits 0-15 payload (literal byte / distance),
 # bits 16-24 pending length (at length-symbol states), bits 25-26 kind.
@@ -326,6 +334,10 @@ def plan_arrays_v3(plan: PlanV3) -> dict:
         # avoids both an N-gather and a (Cells,NB) one-hot at large NB).
         "bne_cell": jnp.asarray(
             plan.block_next_entry[plan.cell_block].astype(np.int32)
+        ),
+        # Host-expanded per-cell stored-bytes offset (block_out_base[cb]).
+        "bob_cell": jnp.asarray(
+            plan.block_out_base[plan.cell_block].astype(np.int32)
         ),
         "block_out_base": jnp.asarray(plan.block_out_base),
         "stored_pos": jnp.asarray(plan.stored_pos),
@@ -894,6 +906,70 @@ def resolve_tape_segmented(tape, cell_block, block_out_base, n_seg: int,
     return outs.reshape(-1)  # (n_seg * SEG_BYTES,)
 
 
+def resolve_tape_segmented_v6(tape, counts, bob_cell, n_seg: int,
+                              stored_pos, stored_val,
+                              interpret: bool = False):
+    """Phase B v6: the full-tape Pallas kernel consumes the chase tape
+    directly — literals commit as rolled vector runs, matches resolve in
+    speculative groups.  XLA prep is elementwise + one cells-sized cumsum;
+    the only scatter left is the (tiny) stored-block byte placement."""
+    from debigulator_tpu.ops import lz77_pallas as lz
+
+    cells, slots = tape.shape
+    sv6 = next(s for s in (16, 32, 64, 128) if s >= slots)
+    if sv6 != slots:
+        tape = jnp.pad(tape, ((0, 0), (0, sv6 - slots)), constant_values=-1)
+
+    flat = tape.reshape(-1)
+    valid = flat >= 0
+    is_match = flat >= TOK_MATCH_BIT
+    mlen = (flat >> 16) & 0x3FFF
+    out_len = jnp.where(is_match, mlen, jnp.where(valid, 1, 0))
+    cell_len = out_len.reshape(cells, sv6).sum(axis=1)
+    cum = jnp.cumsum(cell_len)
+    cbase = bob_cell + cum - cell_len
+    cell_end = cbase + cell_len
+
+    chunk_cells = max(128, lz.V6_MLIST_CAP // sv6)
+    # Pad the cell axis so chunk-aligned DMA windows stay in bounds.
+    cells_pad = (-(-cells // chunk_cells) + 1) * chunk_cells
+    pad_c = cells_pad - cells
+    tape2d = jnp.pad(tape, ((0, pad_c), (0, 0))).reshape(-1, 128)
+    counts_p = jnp.pad(counts.astype(jnp.int32), (0, pad_c)).reshape(-1, 128)
+    cbase_p = jnp.pad(cbase.astype(jnp.int32), (0, pad_c)).reshape(-1, 128)
+
+    offs = jnp.arange(n_seg, dtype=jnp.int32) * SEG_BYTES
+    lo = jnp.searchsorted(cell_end, offs, side="right").astype(jnp.int32)
+    hi = jnp.searchsorted(cbase, offs + SEG_BYTES, side="left").astype(jnp.int32)
+
+    total = n_seg * SEG_BYTES
+    out_flat = jnp.zeros(total, jnp.int32)
+    if stored_val.shape[0]:
+        out_flat = out_flat.at[stored_pos].set(
+            stored_val.astype(jnp.int32), mode="drop"
+        )
+    body_seg = out_flat.reshape(n_seg, SEG_BYTES // 128, 128)
+
+    win_rows = lz.WINDOW // 128
+    pad = jnp.zeros((lz.PAD // 128, 128), jnp.int32)
+    slack = jnp.zeros((4, 128), jnp.int32)
+
+    def seg_step(tail, inp):
+        seg_body, lo_s, hi_s, off_s = inp
+        init = jnp.concatenate([pad, tail, seg_body, slack], axis=0)
+        out2d = lz.resolve_tape_v6(
+            init, tape2d, counts_p, cbase_p, lo_s, hi_s, off_s, sv6,
+            interpret=interpret,
+        )
+        body = out2d[lz.PAD // 128 + win_rows : -4]
+        new_tail = out2d[-4 - win_rows : -4]
+        return new_tail, body
+
+    tail0 = jnp.zeros((win_rows, 128), jnp.int32)
+    _, outs = jax.lax.scan(seg_step, tail0, (body_seg, lo, hi, offs))
+    return outs.reshape(-1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_bits", "slots", "n_seg", "exact", "interpret"),
@@ -905,8 +981,8 @@ def _inflate_v5_jit(arrays, n_bits, slots, n_seg, exact=False, interpret=False):
         nxt, meta, arrays["cell_entry"], n_bits, slots,
         return_counts=True, exact=exact, cell_pend=arrays["cell_pend"],
     )
-    body = resolve_tape_segmented(
-        tape, arrays["cell_block"], arrays["block_out_base"], n_seg,
+    body = resolve_tape_segmented_v6(
+        tape, counts, arrays["bob_cell"], n_seg,
         arrays["stored_pos"], arrays["stored_val"], interpret=interpret,
     )
     return body, overflow
@@ -984,7 +1060,7 @@ def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS,
         )
         if bool(overflow):
             out2d, overflow = _inflate_v4_jit(
-                arrays, plan.n_bits, CELL_BITS + 1, out_rows, m_rows,
+                arrays, plan.n_bits, CELL_BITS, out_rows, m_rows,
                 exact=exact, interpret=interp,
             )
             assert not bool(overflow)
@@ -998,7 +1074,7 @@ def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS,
     if bool(overflow):
         # Rare dense-stream case: retry with the exact per-cell bound.
         out, overflow, sweeps = _inflate_v3_jit(
-            arrays, plan.n_bits, CELL_BITS + 1, out_pad, exact=exact
+            arrays, plan.n_bits, CELL_BITS, out_pad, exact=exact
         )
         assert not bool(overflow)
     return np.asarray(out[: plan.out_size]).tobytes()

@@ -557,6 +557,269 @@ def resolve_matches_v2(out_init, match_pos, match_meta,
     )(match_pos, match_meta, out_init)
 
 
+# ---------------------------------------------------------------------------
+# v6: full-tape Phase B — ONE kernel consumes the chase tape directly.
+# Literal runs commit as rolled masked vector stores straight from the
+# tape rows; matches are collected into an SMEM list and resolved in
+# speculative groups (v4 style).  No per-slot XLA scatters remain: the
+# only XLA prep is elementwise math + a cells-sized cumsum.
+# Replaces the reference's per-symbol store / memcpy loop
+# (inflate.c:1736-1747, :1861-1897) at VPU granularity.
+# ---------------------------------------------------------------------------
+
+#: SMEM match-list capacity per chunk; cells per chunk = CAP // slots so
+#: the worst case (every slot a match) can never overflow the list.
+V6_MLIST_CAP = 4096
+
+
+def _tape_kernel_v6(lim_ref, tape_hbm, counts_hbm, cbase_hbm, init_ref,
+                    out_ref, slots: int):
+    """lim_ref: (3,) SMEM (cell_lo, cell_hi, seg_off); tape_hbm:
+    (CellsTot//CPR, 128) int32 rows of CPR cells x slots lanes;
+    counts_hbm/cbase_hbm: (CellsTot,) int32; init_ref aliases out_ref.
+
+    body range (local coords): [PAD+WINDOW, rows*128 - 512 - ...) — passed
+    implicitly: body_start = PAD + WINDOW, body_end = (rows-4)*128.
+    """
+    del init_ref
+    cpr = 128 // slots  # cells per tape row
+    # Chunks must cover whole 128-cell rows of counts/cbase (Mosaic tiling);
+    # the SMEM match list is sized for the worst case (every slot a match).
+    chunk_cells = max(128, V6_MLIST_CAP // slots)
+    mlist_cap = chunk_cells * slots
+    body_start = PAD + WINDOW
+    body_end = (out_ref.shape[0] - 4) * 128
+    cell_lo = lim_ref[0]
+    cell_hi = lim_ref[1]
+    seg_off = lim_ref[2]
+    base_adj = body_start - seg_off
+
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+    flat2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0) * 128 + lane2
+    flat4 = jax.lax.broadcasted_iota(jnp.int32, (SPAN_ROWS, 128), 0) * 128 + \
+        jax.lax.broadcasted_iota(jnp.int32, (SPAN_ROWS, 128), 1)
+
+    def body(tape_v, tape_s, counts_s, cbase_s, mpos_s, mmeta_s, sem):
+        def copy_clipped(src, dst, length):
+            """_copy_span with [body_start, body_end) store clipping."""
+            rp = dst & 127
+            data = _load_span4(out_ref, src - rp)
+            base_p = dst - rp
+            mask = (flat4 >= rp) & (flat4 < rp + length)
+            mask &= (flat4 + base_p >= body_start) & (flat4 + base_p < body_end)
+            pltpu.store(out_ref.at[pl.ds(dst >> 7, SPAN_ROWS), :], data,
+                        mask=mask)
+
+        def flush_matches(k_total):
+            """Group-resolve the first k_total entries of the SMEM list."""
+            def per_group(gi, _):
+                i0 = gi * GROUP
+                live = [(i0 + g) < k_total for g in range(GROUP)]
+                # Sanitize dead lanes: stale/uninitialized SMEM entries
+                # must not drive loads at wild addresses.
+                dsts = [jnp.where(lv, mpos_s[i0 + g], body_start)
+                        for g, lv in enumerate(live)]
+                metas = [jnp.where(lv, mmeta_s[i0 + g], 0)
+                         for g, lv in enumerate(live)]
+                lens = [m >> 16 for m in metas]
+                srcs = [d - (m & 0xFFFF) for d, m in zip(dsts, metas)]
+
+                clean = jnp.bool_(True)
+                for g in range(GROUP):
+                    clean &= (dsts[g] - srcs[g]) >= lens[g]
+                    for i in range(g):
+                        hit = (srcs[g] < dsts[i] + lens[i]) & \
+                              (srcs[g] + lens[g] > dsts[i])
+                        clean &= jnp.logical_not(
+                            hit & (lens[i] > 0) & (lens[g] > 0))
+
+                @pl.when(clean)
+                def _fast():
+                    datas = []
+                    for g in range(GROUP):
+                        rp = dsts[g] & 127
+                        datas.append(_load_span4(out_ref, srcs[g] - rp))
+                    for g in range(GROUP):
+                        rp = dsts[g] & 127
+                        base_p = dsts[g] - rp
+                        mask = (flat4 >= rp) & (flat4 < rp + lens[g])
+                        mask &= (flat4 + base_p >= body_start) & \
+                                (flat4 + base_p < body_end)
+                        pltpu.store(
+                            out_ref.at[pl.ds(dsts[g] >> 7, SPAN_ROWS), :],
+                            datas[g], mask=mask)
+
+                @pl.when(jnp.logical_not(clean))
+                def _slow():
+                    def one(g, _):
+                        dst, meta = mpos_s[i0 + g], mmeta_s[i0 + g]
+                        length = jnp.where((i0 + g) < k_total, meta >> 16, 0)
+                        dist = meta & 0xFFFF
+
+                        @pl.when(length > 0)
+                        def _():
+                            src = dst - dist
+
+                            @pl.when(dist >= length)
+                            def _plain():
+                                copy_clipped(src, dst, length)
+
+                            @pl.when(dist < length)
+                            def _rle():
+                                n0 = jnp.minimum(dist, length)
+                                copy_clipped(src, dst, n0)
+
+                                def grow(r, avail):
+                                    @pl.when(avail < length)
+                                    def _():
+                                        n_new = jnp.minimum(
+                                            avail, length - avail)
+                                        copy_clipped(dst, dst + avail, n_new)
+                                    return jnp.minimum(avail * 2, length)
+
+                                jax.lax.fori_loop(0, 9, grow, n0)
+
+                        return 0
+
+                    jax.lax.fori_loop(0, GROUP, one, 0)
+
+                return 0
+
+            jax.lax.fori_loop(0, (k_total + GROUP - 1) // GROUP, per_group, 0)
+
+        def flush_run(cell_local, j0, run_dst, run_len):
+            """Commit a literal run from the VMEM tape row."""
+            rowv = tape_v[pl.ds(cell_local // cpr, 1), :]
+            lane0 = (cell_local % cpr) * slots + j0
+            rp = run_dst & 127
+            rolled = pltpu.roll(rowv, rp - lane0, axis=1)
+            vals = jnp.concatenate([rolled, rolled], axis=0) & 0x1FF
+            base_p = run_dst - rp
+            mask = (flat2 >= rp) & (flat2 < rp + run_len)
+            mask &= (flat2 + base_p >= body_start) & \
+                    (flat2 + base_p < body_end)
+            pltpu.store(out_ref.at[pl.ds(run_dst >> 7, 2), :], vals,
+                        mask=mask)
+
+        def per_chunk(ci, _):
+            c0 = lo_al + ci * chunk_cells
+            d1 = pltpu.make_async_copy(
+                tape_hbm.at[pl.ds(c0 // cpr, chunk_cells // cpr), :],
+                tape_v, sem)
+            d1.start()
+            d1.wait()
+            d2 = pltpu.make_async_copy(
+                tape_hbm.at[pl.ds(c0 // cpr, chunk_cells // cpr), :],
+                tape_s, sem)
+            d2.start()
+            d2.wait()
+            d3 = pltpu.make_async_copy(
+                counts_hbm.at[pl.ds(c0 // 128, chunk_cells // 128), :],
+                counts_s, sem)
+            d3.start()
+            d3.wait()
+            d4 = pltpu.make_async_copy(
+                cbase_hbm.at[pl.ds(c0 // 128, chunk_cells // 128), :],
+                cbase_s, sem)
+            d4.start()
+            d4.wait()
+
+            def per_cell(cl, k):
+                c = c0 + cl
+                inside = (c >= cell_lo) & (c < cell_hi)
+                cnt = jnp.where(inside, counts_s[cl >> 7, cl & 127], 0)
+                cur0 = cbase_s[cl >> 7, cl & 127] + base_adj
+
+                def per_tok(j, carry):
+                    cur, rj0, rdst, rlen, k = carry
+                    tok = tape_s[(cl // cpr), (cl % cpr) * slots + j]
+                    is_m = tok >= TOK_MATCH_BIT
+                    mlen = (tok >> 16) & 0x3FFF
+
+                    @pl.when(is_m & (rlen > 0))
+                    def _():
+                        flush_run(cl, rj0, rdst, rlen)
+
+                    # Effective match after head-clip (keeps load bases
+                    # positive for window-crossing sources).
+                    delta = jnp.maximum(body_start - cur, 0)
+                    eff_len = jnp.maximum(mlen - delta, 0)
+                    keep = is_m & (eff_len > 0) & (cur < body_end) & \
+                        (k < mlist_cap)
+
+                    @pl.when(keep)
+                    def _():
+                        mpos_s[k] = cur + delta
+                        mmeta_s[k] = (eff_len << 16) | (tok & 0xFFFF)
+
+                    k = k + keep.astype(jnp.int32)
+                    # literal bookkeeping
+                    new_rj0 = jnp.where(is_m, 0, jnp.where(rlen > 0, rj0, j))
+                    new_rdst = jnp.where(is_m, 0, jnp.where(rlen > 0, rdst, cur))
+                    new_rlen = jnp.where(is_m, 0, rlen + 1)
+                    cur = cur + jnp.where(is_m, mlen, 1)
+                    return cur, new_rj0, new_rdst, new_rlen, k
+
+                cur, rj0, rdst, rlen, k = jax.lax.fori_loop(
+                    0, cnt, per_tok, (cur0, 0, 0, 0, k))
+
+                @pl.when(rlen > 0)
+                def _():
+                    flush_run(cl, rj0, rdst, rlen)
+
+                return k
+
+            k = jax.lax.fori_loop(0, chunk_cells, per_cell, 0)
+            flush_matches(k)
+            return 0
+
+        # Chunk starts must align to whole 128-cell rows of counts/cbase.
+        lo_al = (cell_lo // 128) * 128
+        n_chunks = (cell_hi - lo_al + chunk_cells - 1) // chunk_cells
+        jax.lax.fori_loop(0, n_chunks, per_chunk, 0)
+
+    pl.run_scoped(
+        body,
+        tape_v=pltpu.VMEM((chunk_cells // (128 // slots), 128), jnp.int32),
+        tape_s=pltpu.SMEM((chunk_cells // (128 // slots), 128), jnp.int32),
+        counts_s=pltpu.SMEM((chunk_cells // 128, 128), jnp.int32),
+        cbase_s=pltpu.SMEM((chunk_cells // 128, 128), jnp.int32),
+        mpos_s=pltpu.SMEM((mlist_cap,), jnp.int32),
+        mmeta_s=pltpu.SMEM((mlist_cap,), jnp.int32),
+        sem=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def resolve_tape_v6(out_init, tape2d, counts, cbase, cell_lo, cell_hi,
+                    seg_off, slots: int, interpret: bool = False):
+    """One v6 segment resolve inside jit.
+
+    out_init: (rows,128) int32 — pad row + window + zero body (+ stored
+    bytes pre-scattered) + 4 slack rows.  tape2d: (CellsTot//cpr, 128)
+    int32.  counts/cbase: (CellsTot//128, 128) int32.  cell_lo/hi/seg_off:
+    traced scalars.  slots must divide 128.
+    """
+    lim = jnp.stack([
+        jnp.asarray(cell_lo, jnp.int32),
+        jnp.asarray(cell_hi, jnp.int32),
+        jnp.asarray(seg_off, jnp.int32),
+    ])
+    return pl.pallas_call(
+        functools.partial(_tape_kernel_v6, slots=slots),
+        out_shape=jax.ShapeDtypeStruct(out_init.shape, jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={4: 0},
+        interpret=interpret,
+    )(lim, tape2d, counts, cbase, out_init)
+
+
 def resolve_matches(out_init, match_pos, match_meta, interpret: bool = False):
     """Run the match kernel inside jit.
 

@@ -157,9 +157,9 @@ def decode_batch_device(streams: list[bytes], mesh: Mesh | None = None,
                 batched[k] = np.concatenate([batched[k], reps])
         out, overflow = sharded_inflate(mesh, batched, dims)
     if bool(np.asarray(overflow).any()):
-        if slots == v3.CELL_BITS + 1:
+        if slots == v3.CELL_BITS:
             raise RuntimeError("tape overflow at exact slot bound (bug)")
-        return decode_batch_device(streams, mesh=mesh, slots=v3.CELL_BITS + 1)
+        return decode_batch_device(streams, mesh=mesh, slots=v3.CELL_BITS)
     out_np = np.asarray(out)
     return [out_np[i, : plans[i].out_size].tobytes() for i in range(len(plans))]
 

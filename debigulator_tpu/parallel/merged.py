@@ -177,7 +177,7 @@ def decode_merged(streams: list[bytes]) -> list[bytes]:
     )
     if bool(overflow):
         body, overflow = v3._inflate_v5_jit(
-            arrays, plan.n_bits, v3.CELL_BITS + 1, n_seg, exact=True,
+            arrays, plan.n_bits, v3.CELL_BITS, n_seg, exact=True,
             interpret=interp,
         )
         assert not bool(overflow)

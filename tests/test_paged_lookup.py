@@ -69,3 +69,28 @@ def test_merged_paged_decode_bit_exact():
     assert not bool(overflow)
     got = np.asarray(body[: plan.out_size]).astype(np.uint8).tobytes()
     assert got == b"".join(payloads)
+
+
+def test_v5_multi_segment_decode():
+    """v6 Phase B across several 512 KiB output segments with window carry
+    and non-128-aligned per-segment cell ranges."""
+    pytest.importorskip("jax")
+    from debigulator_tpu.ops.scanner import scan_stream_cells
+
+    rng = np.random.default_rng(7)
+    words = rng.integers(0, 300, 300_000)
+    payload = b" ".join(b"w%d" % w for w in words)  # ~1.4 MB, matchy
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    stream = co.compress(payload) + co.flush()
+    blocks, lengths, cells = scan_stream_cells(stream, v3.CELL_BITS)
+    plan = v3.build_plan_v3(stream, blocks, lengths, cells=cells)
+    arrays = v3.plan_arrays_v3(plan)
+    n_seg = v3._round_pow2(max(1, -(-plan.out_size // v3.SEG_BYTES)), 1)
+    assert n_seg >= 2
+    body, overflow = v3._inflate_v5_jit(
+        arrays, plan.n_bits, plan.slots, n_seg, exact=plan.exact_entries,
+        interpret=True,
+    )
+    assert not bool(overflow)
+    got = np.asarray(body[: plan.out_size]).astype(np.uint8).tobytes()
+    assert got == payload
