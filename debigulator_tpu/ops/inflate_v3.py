@@ -990,6 +990,27 @@ def _inflate_v5_jit(arrays, n_bits, slots, n_seg, exact=False, interpret=False):
 
 @functools.partial(
     jax.jit,
+    static_argnames=("slots", "n_seg", "num_cells", "interpret"),
+)
+def _inflate_v7_jit(pa, arrays, slots, n_seg, num_cells, interpret=False):
+    """Fused pipeline with the Pallas Phase A kernel: decode graph + chase
+    run tile-resident in VMEM (ops.phase_a_pallas), then the segmented v6
+    Phase B — still one device call, no HBM graph intermediates."""
+    from debigulator_tpu.ops.phase_a_pallas import phase_a_pallas
+
+    tape, counts = phase_a_pallas(pa, slots, interpret=interpret)
+    tape = tape[:num_cells]
+    counts = counts[:num_cells]
+    overflow = jnp.any(counts > slots)
+    body = resolve_tape_segmented_v6(
+        tape, counts, arrays["bob_cell"], n_seg,
+        arrays["stored_pos"], arrays["stored_val"], interpret=interpret,
+    )
+    return body, overflow
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("n_bits", "slots", "out_rows", "m_rows", "exact", "interpret"),
 )
 def _inflate_v4_jit(arrays, n_bits, slots, out_rows, m_rows, exact=False,
