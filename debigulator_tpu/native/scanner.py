@@ -137,6 +137,98 @@ def scan_stream(data: bytes, cell_bits: int = 0):
     return infos, lens
 
 
+def scan_stream_records(data: bytes, cell_bits: int):
+    """v8 scan: block index + exact cell entries + dense token records.
+
+    Returns (blocks, lengths, cells, recs) where recs is a dict with
+    ``m_pos``/``m_meta`` (match output offsets + len<<16|dist),
+    ``r_pos``/``r_cell``/``r_j0len`` (literal runs in tape coordinates),
+    ``max_cell_tokens`` and ``out_size``.  The (cell, slot) coordinates
+    mirror the device chase tape layout (ops.inflate_v3.chase_cells).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    max_blocks = max(64, len(data) // 16 + 16)
+    # Worst case one token per compressed bit; start smaller and grow.
+    max_m = max(1024, len(data) * 2)
+    max_r = max(1024, len(data) * 2)
+    while True:
+        blocks = (_BlockRec * max_blocks)()
+        lengths = np.zeros(max_blocks * 320, np.int32)
+        max_cells = (len(data) * 8) // cell_bits + max_blocks + 16
+        cell_states = np.zeros(max_cells, np.int64)
+        cell_pend = np.zeros(max_cells, np.int32)
+        m_pos = np.zeros(max_m, np.int32)
+        m_meta = np.zeros(max_m, np.int32)
+        r_pos = np.zeros(max_r, np.int32)
+        r_cell = np.zeros(max_r, np.int32)
+        r_j0len = np.zeros(max_r, np.int32)
+        n_cells = ctypes.c_int64(0)
+        n_m = ctypes.c_int64(0)
+        n_r = ctypes.c_int64(0)
+        mct = ctypes.c_int32(0)
+        out_size = ctypes.c_uint64(0)
+        nb = lib.dbg_scan2(
+            data, len(data),
+            ctypes.cast(blocks, ctypes.c_void_p), max_blocks,
+            lengths.ctypes.data_as(ctypes.c_void_p),
+            cell_bits,
+            cell_states.ctypes.data_as(ctypes.c_void_p),
+            cell_pend.ctypes.data_as(ctypes.c_void_p),
+            max_cells, ctypes.byref(n_cells),
+            m_pos.ctypes.data_as(ctypes.c_void_p),
+            m_meta.ctypes.data_as(ctypes.c_void_p),
+            max_m, ctypes.byref(n_m),
+            r_pos.ctypes.data_as(ctypes.c_void_p),
+            r_cell.ctypes.data_as(ctypes.c_void_p),
+            r_j0len.ctypes.data_as(ctypes.c_void_p),
+            max_r, ctypes.byref(n_r),
+            ctypes.byref(mct),
+            ctypes.byref(out_size),
+        )
+        if nb == -2 or nb == -4:
+            max_blocks *= 4
+            continue
+        if nb == -5:
+            max_m *= 4
+            max_r *= 4
+            continue
+        if nb < 0:
+            raise InflateError(f"native scan2 failed (code {nb})")
+        break
+    infos, lens = [], []
+    for i in range(nb):
+        r = blocks[i]
+        infos.append(
+            BlockInfo(
+                start_bit=int(r.start_bit),
+                data_start_bit=int(r.data_start_bit),
+                end_bit=int(r.end_bit),
+                btype=int(r.btype),
+                bfinal=bool(r.bfinal),
+                out_start=int(r.out_start),
+                out_size=int(r.out_size),
+            )
+        )
+        if r.btype == C.BTYPE_STORED:
+            lens.append(None)
+        else:
+            lens.append((lengths[i * 320 : i * 320 + 288].copy(),
+                         lengths[i * 320 + 288 : i * 320 + 320].copy()))
+    cells = (cell_states[: n_cells.value], cell_pend[: n_cells.value])
+    recs = {
+        "m_pos": m_pos[: n_m.value].copy(),
+        "m_meta": m_meta[: n_m.value].copy(),
+        "r_pos": r_pos[: n_r.value].copy(),
+        "r_cell": r_cell[: n_r.value].copy(),
+        "r_j0len": r_j0len[: n_r.value].copy(),
+        "max_cell_tokens": int(mct.value),
+        "out_size": int(out_size.value),
+    }
+    return infos, lens, cells, recs
+
+
 def inflate_native(data: bytes):
     """Full serial native inflate → (bytes, blocks)."""
     nb, blocks, _, out_buf, out_size, _ = _scan_raw(data, produce_output=True)

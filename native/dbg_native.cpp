@@ -209,11 +209,34 @@ struct BlockRec {
   int32_t bfinal;
 };
 
+// Token-record emission buffers for the v8 device pipeline (all optional).
+// Matches: m_pos[k] = stream output offset of match k (monotone),
+// m_meta[k] = length<<16 | dist.  Literal runs (maximal runs of literal
+// tokens within one virtual cell): r_pos[k] = output offset, r_cell[k] =
+// global virtual-cell index, r_j0len[k] = tape_slot_j0<<8 | run_len.
+// The (cell, slot) coordinates mirror the device chase tape layout exactly:
+// a token occupies tape[cell-of-its-emitting-code-start, #prior emissions
+// in that cell]; literal tokens emit at their litlen code start, match
+// tokens at their DIST code start (length codes emit nothing).
+struct ScanRecs {
+  int32_t* m_pos;
+  int32_t* m_meta;
+  int64_t max_matches;
+  int64_t n_matches;
+  int32_t* r_pos;
+  int32_t* r_cell;
+  int32_t* r_j0len;
+  int64_t max_runs;
+  int64_t n_runs;
+  int32_t max_cell_tokens;
+};
+
 // Scan a raw DEFLATE stream: fill block records + per-block code lengths
 // (288 litlen + 32 dist int32 per block; zeros for stored blocks).
 // If `output` is non-null (capacity out_cap), also produce decompressed
 // bytes (full serial inflate).  Returns number of blocks, or -1 on error,
-// -2 if block capacity exceeded, -3 if output capacity exceeded.
+// -2 if block capacity exceeded, -3 if output capacity exceeded,
+// -5 if a record capacity (recs) is exceeded.
 //
 // Cell-entry recording (cell_bits > 0): for every `cell_bits`-sized cell of
 // the *virtually rebased* stream (each compressed block bit-aligned to a
@@ -223,14 +246,15 @@ struct BlockRec {
 //   if no code starts in the cell; cell_pend[i] = pending match length at a
 //   dist-mode entry.  This removes any need for speculative entry fixpoints
 //   on the device — entries are exact by construction.
-int64_t dbg_scan(const uint8_t* data, uint64_t size,
+static int64_t scan_impl(const uint8_t* data, uint64_t size,
                  BlockRec* blocks, int64_t max_blocks,
                  int32_t* lengths_buf,  // max_blocks * 320
                  uint8_t* output, uint64_t out_cap,
                  uint64_t* out_size_ret,
                  int64_t cell_bits,
                  int64_t* cell_states, int32_t* cell_pend,
-                 int64_t max_cells, int64_t* n_cells_ret) {
+                 int64_t max_cells, int64_t* n_cells_ret,
+                 ScanRecs* recs) {
   BitReader br{data, size, 0, false};
   int64_t nb = 0;
   uint64_t out_at = 0;
@@ -238,6 +262,39 @@ int64_t dbg_scan(const uint8_t* data, uint64_t size,
   const bool cells = cell_bits > 0 && cell_states != nullptr;
   int64_t cell_base = 0;   // global cell index of current block's cell 0
   int64_t cell_filled = 0; // cells recorded so far (global)
+
+  // --- token-record tracking (v8 pipeline; mirrors the device tape) ---
+  const bool track = recs != nullptr && cells;
+  int64_t rc_cur_cell = -1;  // cell whose slot counter is live
+  int32_t rc_cur_slot = 0;
+  int64_t run_cell = -1;     // literal-run accumulator
+  int32_t run_j0 = 0, run_len = 0;
+  int64_t run_pos = 0;
+
+  // Tape coordinates of a code starting at absolute bit `posbits` inside
+  // the block whose data starts at `bds`: cell = virtual cell index, slot
+  // = number of tokens already emitted in that cell.
+  auto cellslot = [&](uint64_t posbits, uint64_t bds, int64_t* cellp) {
+    int64_t vcell =
+        cell_base + (int64_t)((posbits - bds) / (uint64_t)cell_bits);
+    if (vcell != rc_cur_cell) { rc_cur_cell = vcell; rc_cur_slot = 0; }
+    *cellp = vcell;
+    int32_t s = rc_cur_slot++;
+    if (rc_cur_slot > recs->max_cell_tokens)
+      recs->max_cell_tokens = rc_cur_slot;
+    return s;
+  };
+  auto flush_run = [&]() {
+    if (run_len > 0) {
+      if (recs->n_runs >= recs->max_runs) return -5;
+      recs->r_pos[recs->n_runs] = (int32_t)run_pos;
+      recs->r_cell[recs->n_runs] = (int32_t)run_cell;
+      recs->r_j0len[recs->n_runs] = (run_j0 << 8) | run_len;
+      recs->n_runs++;
+      run_len = 0;
+    }
+    return 0;
+  };
 
   // Record the state at a code start: fill any newly entered cells.
   auto record = [&](uint64_t block_data_start, int mode, int32_t pending) -> int {
@@ -304,25 +361,52 @@ int64_t dbg_scan(const uint8_t* data, uint64_t size,
       for (;;) {
         if (br.overrun || br.bitpos > size * 8) return -1;
         if (record(ds, 0, 0) < 0) return -4;
+        const uint64_t code_start = br.bitpos;
         int sym = decode_sym(br, lt);
         if (sym < 0) return -1;
         if (sym < 256) {
+          if (track) {
+            int64_t vc;
+            int32_t s = cellslot(code_start, ds, &vc);
+            if (run_len > 0 && vc == run_cell && s == run_j0 + run_len) {
+              run_len++;
+            } else {
+              if (flush_run() < 0) return -5;
+              run_cell = vc;
+              run_j0 = s;
+              run_len = 1;
+              run_pos = (int64_t)out_at;
+            }
+          }
           if (produce) {
             if (out_at >= out_cap) return -3;
             output[out_at] = (uint8_t)sym;
           }
           out_at++;
         } else if (sym == 256) {
+          if (track && flush_run() < 0) return -5;
           break;
         } else {
           if (sym > 285) return -1;
           int li = sym - 257;
           uint32_t length = kLenBase[li] + br.bits(kLenExtra[li]);
           if (record(ds, 1, (int32_t)length) < 0) return -4;
+          if (track) {
+            if (flush_run() < 0) return -5;
+            int64_t vc;
+            (void)cellslot(br.bitpos, ds, &vc);  // dist-code start slot
+          }
           int dsym = decode_sym(br, dt);
           if (dsym < 0 || dsym > 29) return -1;
           uint32_t dist = kDistBase[dsym] + br.bits(kDistExtra[dsym]);
           if (dist > out_at) return -1;
+          if (track) {
+            if (recs->n_matches >= recs->max_matches) return -5;
+            recs->m_pos[recs->n_matches] = (int32_t)out_at;
+            recs->m_meta[recs->n_matches] =
+                ((int32_t)length << 16) | (int32_t)dist;
+            recs->n_matches++;
+          }
           if (produce) {
             if (out_at + length > out_cap) return -3;
             // Overlap-safe byte copy (RFC 1951 §3.2.3 semantics).
@@ -355,6 +439,44 @@ int64_t dbg_scan(const uint8_t* data, uint64_t size,
   }
   if (out_size_ret) *out_size_ret = out_at;
   if (n_cells_ret) *n_cells_ret = cell_filled;
+  return nb;
+}
+
+int64_t dbg_scan(const uint8_t* data, uint64_t size,
+                 BlockRec* blocks, int64_t max_blocks,
+                 int32_t* lengths_buf,
+                 uint8_t* output, uint64_t out_cap,
+                 uint64_t* out_size_ret,
+                 int64_t cell_bits,
+                 int64_t* cell_states, int32_t* cell_pend,
+                 int64_t max_cells, int64_t* n_cells_ret) {
+  return scan_impl(data, size, blocks, max_blocks, lengths_buf, output,
+                   out_cap, out_size_ret, cell_bits, cell_states, cell_pend,
+                   max_cells, n_cells_ret, nullptr);
+}
+
+// v8 scan: dbg_scan plus dense token records (see ScanRecs).
+// Returns blocks, or the scan_impl error codes (-5 = record capacity).
+int64_t dbg_scan2(const uint8_t* data, uint64_t size,
+                  BlockRec* blocks, int64_t max_blocks,
+                  int32_t* lengths_buf,
+                  int64_t cell_bits,
+                  int64_t* cell_states, int32_t* cell_pend,
+                  int64_t max_cells, int64_t* n_cells_ret,
+                  int32_t* m_pos, int32_t* m_meta, int64_t max_matches,
+                  int64_t* n_matches_ret,
+                  int32_t* r_pos, int32_t* r_cell, int32_t* r_j0len,
+                  int64_t max_runs, int64_t* n_runs_ret,
+                  int32_t* max_cell_tokens_ret,
+                  uint64_t* out_size_ret) {
+  ScanRecs recs{m_pos, m_meta, max_matches, 0,
+                r_pos, r_cell, r_j0len, max_runs, 0, 0};
+  int64_t nb = scan_impl(data, size, blocks, max_blocks, lengths_buf,
+                         nullptr, 0, out_size_ret, cell_bits, cell_states,
+                         cell_pend, max_cells, n_cells_ret, &recs);
+  if (n_matches_ret) *n_matches_ret = recs.n_matches;
+  if (n_runs_ret) *n_runs_ret = recs.n_runs;
+  if (max_cell_tokens_ret) *max_cell_tokens_ret = recs.max_cell_tokens;
   return nb;
 }
 
