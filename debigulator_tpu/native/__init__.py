@@ -78,6 +78,11 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint64),
     ]
+    lib.dbg_level_matches.restype = None
+    lib.dbg_level_matches.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.dbg_crc32.restype = ctypes.c_uint32
     lib.dbg_crc32.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32]
     lib.dbg_adler32.restype = ctypes.c_uint32

@@ -229,6 +229,28 @@ def scan_stream_records(data: bytes, cell_bits: int):
     return infos, lens, cells, recs
 
 
+def level_matches(m_pos: np.ndarray, m_meta: np.ndarray,
+                  out_size: int) -> np.ndarray:
+    """Dependency levels for device-parallel match resolution (see
+    dbg_level_matches in native/dbg_native.cpp)."""
+    lib = get_lib()
+    n = len(m_pos)
+    levels = np.zeros(n, np.int32)
+    if lib is None or n == 0:
+        return levels
+    levmap = np.zeros(max(out_size, 1), np.int32)
+    m_pos = np.ascontiguousarray(m_pos, np.int32)
+    m_meta = np.ascontiguousarray(m_meta, np.int32)
+    lib.dbg_level_matches(
+        m_pos.ctypes.data_as(ctypes.c_void_p),
+        m_meta.ctypes.data_as(ctypes.c_void_p),
+        n,
+        levmap.ctypes.data_as(ctypes.c_void_p),
+        levels.ctypes.data_as(ctypes.c_void_p),
+    )
+    return levels
+
+
 def inflate_native(data: bytes):
     """Full serial native inflate → (bytes, blocks)."""
     nb, blocks, _, out_buf, out_size, _ = _scan_raw(data, produce_output=True)

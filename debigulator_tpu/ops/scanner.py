@@ -68,6 +68,20 @@ def scan_stream_cells(data, cell_bits: int):
     return blocks, lengths, None
 
 
+def scan_stream_records(data, cell_bits: int):
+    """Index + cell entries + dense token records (v8 pipeline).
+
+    Returns (blocks, lengths, cells, recs); recs is None when the native
+    scanner is unavailable (callers fall back to the tape-walk pipelines).
+    """
+    native = _get_native()
+    if native is not None:
+        return native.scan_stream_records(
+            bytes(memoryview(data)), cell_bits=cell_bits)
+    blocks, lengths = _scan_stream_py(data)
+    return blocks, lengths, None, None
+
+
 def _scan_stream_py(data) -> tuple[list[BlockInfo], list]:
     _, blocks = inflate(data)
     lengths: list = []

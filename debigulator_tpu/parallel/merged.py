@@ -25,10 +25,15 @@ class MergedPlan:
     plan: v3.PlanV3
     out_offsets: list[int]  # per-stream start in the merged output
     out_sizes: list[int]
+    #: Merged token records for the v8 record-driven Phase B (or None when
+    #: the native scanner is unavailable): m_pos/m_meta (matches, stream-
+    #: global output offsets), r_pos/r_cell/r_j0len (literal runs in tape
+    #: coordinates).  All offsets are merged-global.
+    recs: dict | None = None
 
 
 def build_merged_plan(streams: list[bytes]) -> MergedPlan:
-    from debigulator_tpu.ops.scanner import scan_stream_cells
+    from debigulator_tpu.ops.scanner import scan_stream_records
 
     all_blocks: list = []
     all_lengths: list = []
@@ -42,11 +47,14 @@ def build_merged_plan(streams: list[bytes]) -> MergedPlan:
     # We merge at the PlanV3 array level: build each stream's plan, then
     # shift and concatenate.
     plans = []
+    recs_list = []
     for s in streams:
-        blocks, lengths, cells = scan_stream_cells(s, v3.CELL_BITS)
+        blocks, lengths, cells, recs = scan_stream_records(s, v3.CELL_BITS)
         if cells is None:
             exact = False
+        recs_list.append(recs)
         plans.append(v3.build_plan_v3(s, blocks, lengths, cells=cells))
+    have_recs = all(r is not None for r in recs_list) and recs_list
 
     nb_total = sum(p.ll_count.shape[0] for p in plans)
 
@@ -63,7 +71,24 @@ def build_merged_plan(streams: list[bytes]) -> MergedPlan:
     bit_cursor = 0
     block_cursor = 0
     stored_cursor = 0
-    for p in plans:
+    rec_parts = {k: [] for k in ("m_pos", "m_meta", "m_level", "r_pos",
+                                 "r_cell", "r_j0len")}
+    max_cell_tokens = 0
+    for p, prec in zip(plans, recs_list):
+        if have_recs:
+            from debigulator_tpu.native.scanner import level_matches
+
+            cell_base = bit_cursor // v3.CELL_BITS
+            rec_parts["m_pos"].append(prec["m_pos"] + out_cursor)
+            rec_parts["m_meta"].append(prec["m_meta"])
+            rec_parts["m_level"].append(
+                level_matches(prec["m_pos"], prec["m_meta"],
+                              prec["out_size"])
+            )
+            rec_parts["r_pos"].append(prec["r_pos"] + out_cursor)
+            rec_parts["r_cell"].append(prec["r_cell"] + cell_base)
+            rec_parts["r_j0len"].append(prec["r_j0len"])
+            max_cell_tokens = max(max_cell_tokens, prec["max_cell_tokens"])
         used_cells = int(np.count_nonzero(p.cell_block >= 0))  # all cells
         # Used bit range = cells actually assigned (the tail of the pow2 pad
         # belongs to block 0 by default fill — use the real extent):
@@ -155,7 +180,125 @@ def build_merged_plan(streams: list[bytes]) -> MergedPlan:
         exact_entries=exact,
         cell_pend=pad_cells(cell_pend_parts, 0).astype(np.int32),
     )
-    return MergedPlan(plan=merged, out_offsets=out_offsets, out_sizes=out_sizes)
+    recs = None
+    if have_recs:
+        recs = {k: (np.concatenate(v) if v else np.zeros(0, np.int32))
+                for k, v in rec_parts.items()}
+        recs["max_cell_tokens"] = max_cell_tokens
+        # Exact tape capacity (token tape rows are 128 lanes, so slots must
+        # divide 128); the scanner bound makes the overflow probe moot.
+        merged.slots = next(
+            s for s in (16, 32, 64) if s >= max(max_cell_tokens, 1)
+        )
+    return MergedPlan(plan=merged, out_offsets=out_offsets,
+                      out_sizes=out_sizes, recs=recs)
+
+
+def _pad_rec_rows(a: np.ndarray, stage_rows: int) -> np.ndarray:
+    """Reshape a flat record array to (rows, 128), rows padded to a stage
+    multiple plus one slack stage (kernel DMA windows run past the live
+    range; padded entries are masked off by index-range checks)."""
+    n = len(a)
+    rows = -(-max(n, 1) // 128)
+    rows = -(-rows // stage_rows) * stage_rows + stage_rows
+    out = np.zeros(rows * 128, a.dtype if a.dtype == np.int32 else np.int32)
+    out[:n] = a
+    return out.reshape(rows, 128)
+
+
+def build_v8_arrays(mp: MergedPlan, n_seg: int) -> dict | None:
+    """Host prep for the record-driven Phase B: split records at output
+    segment boundaries, compute per-segment record ranges and per-tape-
+    chunk run ranges.  All numpy-vectorized; returns device arrays."""
+    import jax.numpy as jnp
+
+    from debigulator_tpu.ops import lz77_pallas as lz
+
+    if mp.recs is None:
+        return None
+    plan = mp.plan
+    recs = mp.recs
+    slots = plan.slots
+    cpr = 128 // slots
+    cells_pad = -(-plan.num_cells // 128) * 128
+    chunk_cells = lz.V8_TAPE_WIN_ROWS * cpr
+    n_chunks = -(-cells_pad // chunk_cells)
+    SEG = v3.SEG_BYTES
+    seg_starts = np.arange(n_seg, dtype=np.int64) * SEG
+
+    # --- matches: split the (single possible) segment-boundary crossing ---
+    mp_ = recs["m_pos"].astype(np.int64)
+    mm = recs["m_meta"].astype(np.int64)
+    ml = (mm >> 16) & 0xFFFF
+    md = mm & 0xFFFF
+    boundary = (mp_ // SEG + 1) * SEG
+    la = np.minimum(ml, boundary - mp_)
+    lb = ml - la
+    pos2 = np.stack([mp_, boundary], 1).reshape(-1)
+    len2 = np.stack([la, lb], 1).reshape(-1)
+    dist2 = np.stack([md, md], 1).reshape(-1)
+    keep = len2 > 0
+    mpos_f = pos2[keep]
+    mmeta_f = (len2[keep] << 16) | dist2[keep]
+    m_lo = np.searchsorted(mpos_f, seg_starts, side="left")
+    m_hi = np.searchsorted(mpos_f, seg_starts + SEG, side="left")
+
+    # --- literal runs: same split (j0 advances with the head part) ---
+    rp = recs["r_pos"].astype(np.int64)
+    rc = recs["r_cell"].astype(np.int64)
+    rjl = recs["r_j0len"].astype(np.int64)
+    rj0 = rjl >> 8
+    rln = rjl & 0xFF
+    boundary = (rp // SEG + 1) * SEG
+    la = np.minimum(rln, boundary - rp)
+    lb = rln - la
+    pos2 = np.stack([rp, boundary], 1).reshape(-1)
+    cell2 = np.stack([rc, rc], 1).reshape(-1)
+    j02 = np.stack([rj0, rj0 + la], 1).reshape(-1)
+    len2 = np.stack([la, lb], 1).reshape(-1)
+    keep = len2 > 0
+    rpos_f = pos2[keep]
+    rcell_f = cell2[keep]
+    rjl_f = (j02[keep] << 8) | len2[keep]
+    r_lo = np.searchsorted(rpos_f, seg_starts, side="left")
+    r_hi = np.searchsorted(rpos_f, seg_starts + SEG, side="left")
+
+    chunk_bounds = np.arange(n_chunks + 1, dtype=np.int64) * chunk_cells
+    c_edges = np.searchsorted(rcell_f, chunk_bounds, side="left")
+    clo = c_edges[:-1].astype(np.int32)
+    chi = c_edges[1:].astype(np.int32)
+
+    nonempty = r_hi > r_lo
+    ch_lo = np.where(
+        nonempty,
+        (rcell_f[np.clip(r_lo, 0, max(len(rcell_f) - 1, 0))] // chunk_cells
+         if len(rcell_f) else 0),
+        0,
+    )
+    ch_hi = np.where(
+        nonempty,
+        (rcell_f[np.clip(r_hi - 1, 0, max(len(rcell_f) - 1, 0))]
+         // chunk_cells + 1 if len(rcell_f) else 0),
+        0,
+    )
+
+    lims = np.stack(
+        [m_lo, m_hi, r_lo, r_hi, seg_starts, ch_lo, ch_hi,
+         np.zeros(n_seg, np.int64)],
+        axis=1,
+    ).astype(np.int32)
+
+    sr = lz.V8_STAGE_ROWS
+    return {
+        "lims": jnp.asarray(lims),
+        "clo": jnp.asarray(clo),
+        "chi": jnp.asarray(chi),
+        "rpos": jnp.asarray(_pad_rec_rows(rpos_f.astype(np.int32), sr)),
+        "rcell": jnp.asarray(_pad_rec_rows(rcell_f.astype(np.int32), sr)),
+        "rjl": jnp.asarray(_pad_rec_rows(rjl_f.astype(np.int32), sr)),
+        "mpos": jnp.asarray(_pad_rec_rows(mpos_f.astype(np.int32), sr)),
+        "mmeta": jnp.asarray(_pad_rec_rows(mmeta_f.astype(np.int32), sr)),
+    }
 
 
 def prepare_merged(mp: MergedPlan, interpret: bool | None = None):
@@ -167,6 +310,7 @@ def prepare_merged(mp: MergedPlan, interpret: bool | None = None):
     (speculative entries or a tile spanning more than one table page).
     """
     import jax
+    import jax.numpy as jnp
 
     from debigulator_tpu.ops.phase_a_pallas import build_pa_arrays
 
@@ -174,8 +318,36 @@ def prepare_merged(mp: MergedPlan, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n_seg = v3._round_pow2(max(1, -(-plan.out_size // v3.SEG_BYTES)), 1)
-    arrays = v3.plan_arrays_v3(plan)
     pa = build_pa_arrays(plan) if plan.exact_entries else None
+    v8 = build_v8_arrays(mp, n_seg) if plan.exact_entries else None
+
+    if v8 is not None and pa is not None:
+        # v8 record-driven path: the scanner's exact per-cell token bound
+        # makes tape overflow impossible — no probe call needed.
+        sp = jnp.asarray(plan.stored_pos)
+        sv = jnp.asarray(plan.stored_val)
+        slots = plan.slots
+
+        def run():
+            return v3._inflate_v8_jit(
+                pa, v8, sp, sv, slots, n_seg, interpret=interpret,
+            )
+
+        return run
+
+    arrays = v3.plan_arrays_v3(plan)
+
+    if v8 is not None:
+        # Dense-block plans (Pallas Phase A tile spans >1 table page):
+        # XLA Phase A + record-driven Phase B.
+        slots = plan.slots
+
+        def run_x():
+            return v3._inflate_v8x_jit(
+                arrays, v8, plan.n_bits, slots, n_seg, interpret=interpret,
+            )
+
+        return run_x
 
     def call(slots: int):
         if pa is not None:

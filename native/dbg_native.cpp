@@ -480,6 +480,27 @@ int64_t dbg_scan2(const uint8_t* data, uint64_t size,
   return nb;
 }
 
+// Dependency leveling for device-parallel match resolution: level(j) =
+// 1 + max level of any match whose destination overlaps match j's source
+// (literals/stored bytes are level 0).  Matches at equal level are
+// mutually independent, so the device kernel can resolve a level-sorted
+// group with all loads issued before all stores.  levmap must be
+// out_size int32, zero-initialized by the caller.
+void dbg_level_matches(const int32_t* m_pos, const int32_t* m_meta,
+                       int64_t n, int32_t* levmap, int32_t* levels_out) {
+  for (int64_t j = 0; j < n; j++) {
+    int64_t d = m_pos[j];
+    int64_t l = (m_meta[j] >> 16) & 0xFFFF;
+    int64_t s = d - (m_meta[j] & 0xFFFF);
+    int32_t lv = 0;
+    for (int64_t k = s; k < s + l; k++)
+      if (levmap[k] > lv) lv = levmap[k];
+    lv += 1;
+    levels_out[j] = lv;
+    for (int64_t k = d; k < d + l; k++) levmap[k] = lv;
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Checksums (slice-by-8 CRC-32; straightforward Adler-32).
 // ---------------------------------------------------------------------------
