@@ -78,8 +78,10 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint64),
     ]
-    lib.dbg_level_matches.restype = None
-    lib.dbg_level_matches.argtypes = [
+    lib.dbg_pack_groups.restype = ctypes.c_int64
+    lib.dbg_pack_groups.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p,
     ]

@@ -229,26 +229,38 @@ def scan_stream_records(data: bytes, cell_bits: int):
     return infos, lens, cells, recs
 
 
-def level_matches(m_pos: np.ndarray, m_meta: np.ndarray,
-                  out_size: int) -> np.ndarray:
-    """Dependency levels for device-parallel match resolution (see
-    dbg_level_matches in native/dbg_native.cpp)."""
+def pack_groups(m_pos: np.ndarray, m_meta: np.ndarray,
+                seg_bytes: int, n_seg: int):
+    """Pack matches into conflict-free groups of 8 for the v9 kernel (see
+    dbg_pack_groups in native/dbg_native.cpp).
+
+    Returns (g_pos, g_meta, seg_lo, seg_hi) or None when the native
+    library is unavailable."""
     lib = get_lib()
+    if lib is None:
+        return None
     n = len(m_pos)
-    levels = np.zeros(n, np.int32)
-    if lib is None or n == 0:
-        return levels
-    levmap = np.zeros(max(out_size, 1), np.int32)
     m_pos = np.ascontiguousarray(m_pos, np.int32)
     m_meta = np.ascontiguousarray(m_meta, np.int32)
-    lib.dbg_level_matches(
-        m_pos.ctypes.data_as(ctypes.c_void_p),
-        m_meta.ctypes.data_as(ctypes.c_void_p),
-        n,
-        levmap.ctypes.data_as(ctypes.c_void_p),
-        levels.ctypes.data_as(ctypes.c_void_p),
-    )
-    return levels
+    max_slots = 8 * (4 * max(n, 1) + 2 * n_seg + 64)
+    while True:  # RLE-chain-heavy streams can need ~9 groups per match
+        g_pos = np.zeros(max_slots, np.int32)
+        g_meta = np.zeros(max_slots, np.int32)
+        seg_lo = np.zeros(n_seg, np.int32)
+        seg_hi = np.zeros(n_seg, np.int32)
+        n_slots = lib.dbg_pack_groups(
+            m_pos.ctypes.data_as(ctypes.c_void_p),
+            m_meta.ctypes.data_as(ctypes.c_void_p),
+            n, seg_bytes, n_seg,
+            g_pos.ctypes.data_as(ctypes.c_void_p),
+            g_meta.ctypes.data_as(ctypes.c_void_p),
+            max_slots,
+            seg_lo.ctypes.data_as(ctypes.c_void_p),
+            seg_hi.ctypes.data_as(ctypes.c_void_p),
+        )
+        if n_slots >= 0:
+            return g_pos[:n_slots], g_meta[:n_slots], seg_lo, seg_hi
+        max_slots *= 4
 
 
 def inflate_native(data: bytes):

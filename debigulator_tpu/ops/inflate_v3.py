@@ -970,24 +970,22 @@ def resolve_tape_segmented_v6(tape, counts, bob_cell, n_seg: int,
     return outs.reshape(-1)
 
 
-def resolve_records_segmented_v8(tape, v8, n_seg: int, slots: int,
-                                 stored_pos, stored_val,
-                                 interpret: bool = False):
-    """Phase B v8: record-driven — literal runs and matches come as dense
-    host-scanned records (native/dbg_native.cpp dbg_scan2), so there is no
-    per-token device work at all.  XLA prep is just the stored-byte scatter
-    (usually empty); each segment is one Pallas kernel call inside a
-    lax.scan carrying the 32 KiB window tail."""
+def resolve_groups_segmented_v9(tape, v9, n_seg: int,
+                                stored_pos, stored_val,
+                                interpret: bool = False):
+    """Phase B v9: group-driven — matches come as conflict-free groups of
+    8 (native dbg_pack_groups), so the kernel has no per-token bookkeeping
+    AND no conflict logic.  Literal runs never read the output, so XLA
+    scatters them (plus stored bytes) into the initial buffer; each
+    segment is then one Pallas kernel call inside a lax.scan carrying the
+    32 KiB window tail."""
     from debigulator_tpu.ops import lz77_pallas as lz
-
-    tape2d = tape.reshape(-1, 128)
-    rows = tape2d.shape[0]
-    pad_rows = -(-rows // lz.V8_TAPE_WIN_ROWS) * lz.V8_TAPE_WIN_ROWS - rows
-    if pad_rows:
-        tape2d = jnp.pad(tape2d, ((0, pad_rows), (0, 0)))
 
     total = n_seg * SEG_BYTES
     out_flat = jnp.zeros(total, jnp.int32)
+    if v9["run_dst"].shape[0]:
+        lit_vals = tape.reshape(-1)[v9["run_src"]] & 0xFF
+        out_flat = out_flat.at[v9["run_dst"]].set(lit_vals, mode="drop")
     if stored_val.shape[0]:
         out_flat = out_flat.at[stored_pos].set(
             stored_val.astype(jnp.int32), mode="drop"
@@ -1001,17 +999,15 @@ def resolve_records_segmented_v8(tape, v8, n_seg: int, slots: int,
     def seg_step(tail, inp):
         seg_body, lim = inp
         init = jnp.concatenate([pad, tail, seg_body, slack], axis=0)
-        out2d = lz.resolve_records_v8(
-            init, lim, v8["clo"], v8["chi"], v8["rpos"], v8["rcell"],
-            v8["rjl"], v8["mpos"], v8["mmeta"], tape2d, slots,
-            interpret=interpret,
+        out2d = lz.resolve_groups_v9(
+            init, lim, v9["gpos"], v9["gmeta"], interpret=interpret,
         )
         body = out2d[lz.PAD // 128 + win_rows : -4]
         new_tail = out2d[-4 - win_rows : -4]
         return new_tail, body
 
     tail0 = jnp.zeros((win_rows, 128), jnp.int32)
-    _, outs = jax.lax.scan(seg_step, tail0, (body_seg, v8["lims"]))
+    _, outs = jax.lax.scan(seg_step, tail0, (body_seg, v9["lims"]))
     return outs.reshape(-1)
 
 
@@ -1019,15 +1015,15 @@ def resolve_records_segmented_v8(tape, v8, n_seg: int, slots: int,
     jax.jit,
     static_argnames=("slots", "n_seg", "interpret"),
 )
-def _inflate_v8_jit(pa, v8, stored_pos, stored_val, slots, n_seg,
+def _inflate_v9_jit(pa, v9, stored_pos, stored_val, slots, n_seg,
                     interpret=False):
-    """Fused v8 pipeline: Pallas Phase A (graph+chase in VMEM) + the
-    record-driven Phase B — one device call, no token-granular XLA work."""
+    """Fused v9 pipeline: Pallas Phase A (graph+chase in VMEM) + the
+    group-driven Phase B — one device call, no token-granular XLA work."""
     from debigulator_tpu.ops.phase_a_pallas import phase_a_pallas
 
     tape, _counts = phase_a_pallas(pa, slots, interpret=interpret)
-    body = resolve_records_segmented_v8(
-        tape, v8, n_seg, slots, stored_pos, stored_val, interpret=interpret,
+    body = resolve_groups_segmented_v9(
+        tape, v9, n_seg, stored_pos, stored_val, interpret=interpret,
     )
     return body
 
@@ -1036,16 +1032,16 @@ def _inflate_v8_jit(pa, v8, stored_pos, stored_val, slots, n_seg,
     jax.jit,
     static_argnames=("n_bits", "slots", "n_seg", "interpret"),
 )
-def _inflate_v8x_jit(arrays, v8, n_bits, slots, n_seg, interpret=False):
-    """v8 Phase B behind the XLA Phase A — covers exact plans the fused
+def _inflate_v9x_jit(arrays, v9, n_bits, slots, n_seg, interpret=False):
+    """v9 Phase B behind the XLA Phase A — covers exact plans the fused
     Pallas Phase A can't (a 128-cell tile spanning >1 table page)."""
     nxt, meta = build_graph_v3(arrays, n_bits)
     tape, _overflow, _counts, _ = chase_cells(
         nxt, meta, arrays["cell_entry"], n_bits, slots,
         return_counts=True, exact=True, cell_pend=arrays["cell_pend"],
     )
-    return resolve_records_segmented_v8(
-        tape, v8, n_seg, slots, arrays["stored_pos"], arrays["stored_val"],
+    return resolve_groups_segmented_v9(
+        tape, v9, n_seg, arrays["stored_pos"], arrays["stored_val"],
         interpret=interpret,
     )
 

@@ -183,34 +183,27 @@ def _phase_a_kernel(pb_ref, vw_ref, ent_ref, pend_ref, lb_ref, par_ref,
     np_dist = p + d_len + deb
     meta_dist = (K_DIST << META_KIND_SHIFT) | (dbase + dextra)
 
-    # --- chase ---
+    # --- chase: static wavefront sweep ---
+    # Positions advance strictly monotonically (every code consumes >= 1
+    # bit), so one unrolled p = 0..63 sweep visits every chain step in
+    # order with STATIC table-row indexing — no per-token one-hot sum
+    # over the 64-row tables (the while-loop formulation's cost).
     el = ent_ref[:]
     s_pos = jnp.where(el >= 0, el >> 1, INACTIVE)
     s_mode = jnp.where(el >= 0, el & 1, 0)
     pend = pend_ref[:]
-    cnt0 = jnp.zeros((1, TC), jnp.int32)
-    iota_pos = jax.lax.broadcasted_iota(jnp.int32, (CELL_BITS, TC), 0)
+    cnt = jnp.zeros((1, TC), jnp.int32)
     iota_slots = jax.lax.broadcasted_iota(jnp.int32, (slots, 1), 0)
 
-    tape_ref[:] = jnp.full((slots, TC), -1, jnp.int32)
+    tape = jnp.full((slots, TC), -1, jnp.int32)
 
-    def cond(carry):
-        s_pos, _, _, _, k = carry
-        return jnp.any(s_pos < INACTIVE) & (k < CELL_BITS + 1)
-
-    def body(carry):
-        s_pos, s_mode, pend, cnt, k = carry
-        active = s_pos < INACTIVE
-        mode_b = s_mode == 1  # (1, TC)
-        oh = iota_pos == s_pos  # (64, TC)
-        nxt_tab = jnp.where(mode_b, np_dist, np_lit)
-        nm_tab = jnp.where(mode_b, 0, nm_lit)
-        meta_tab = jnp.where(mode_b, meta_dist, meta_lit)
-        nx_pos = jnp.sum(jnp.where(oh, nxt_tab, 0), axis=0, keepdims=True)
-        nx_mode = jnp.sum(jnp.where(oh, nm_tab, 0), axis=0, keepdims=True)
-        mt = jnp.sum(jnp.where(oh, meta_tab, 0), axis=0, keepdims=True)
-
-        kind = mt >> META_KIND_SHIFT
+    kind_lit = meta_lit >> META_KIND_SHIFT  # (64, TC)
+    for p in range(CELL_BITS):
+        here = s_pos == p  # (1, TC)
+        mode_b = s_mode == 1
+        nx_pos = jnp.where(mode_b, np_dist[p : p + 1], np_lit[p : p + 1])
+        kind = jnp.where(mode_b, K_DIST, kind_lit[p : p + 1])
+        mt = jnp.where(mode_b, meta_dist[p : p + 1], meta_lit[p : p + 1])
         payload = mt & 0xFFFF
         pd = (mt >> 16) & 0x1FF
         is_dist = kind == K_DIST
@@ -218,20 +211,16 @@ def _phase_a_kernel(pb_ref, vw_ref, ent_ref, pend_ref, lb_ref, par_ref,
             is_dist, TOK_MATCH_BIT | (pend << 16) | payload,
             jnp.where(kind == K_LIT, payload, -1),
         )
-        new_pend = jnp.where(pd > 0, pd, pend)
-        new_pend = jnp.where(is_dist, 0, new_pend)
-        do_emit = active & (em >= 0)
+        new_pend = jnp.where(is_dist, 0, jnp.where(pd > 0, pd, pend))
+        do_emit = here & (em >= 0)
         upd = (iota_slots == cnt) & do_emit
-        tape_ref[:] = jnp.where(upd, em, tape_ref[:])
+        tape = jnp.where(upd, em, tape)
         cnt = cnt + do_emit.astype(jnp.int32)
-        s_pos = jnp.where(active, nx_pos, s_pos)
-        s_mode = jnp.where(active, nx_mode, s_mode)
-        pend = jnp.where(active, new_pend, pend)
-        return s_pos, s_mode, pend, cnt, k + 1
-
-    _, _, _, cnt, _ = jax.lax.while_loop(
-        cond, body, (s_pos, s_mode, pend, cnt0, jnp.int32(0))
-    )
+        s_pos = jnp.where(here, nx_pos, s_pos)
+        s_mode = jnp.where(here, jnp.where(mode_b, 0, nm_lit[p : p + 1]),
+                           s_mode)
+        pend = jnp.where(here, new_pend, pend)
+    tape_ref[:] = tape
     cnt_ref[:] = cnt
 
 

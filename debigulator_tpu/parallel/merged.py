@@ -25,7 +25,7 @@ class MergedPlan:
     plan: v3.PlanV3
     out_offsets: list[int]  # per-stream start in the merged output
     out_sizes: list[int]
-    #: Merged token records for the v8 record-driven Phase B (or None when
+    #: Merged token records for the v9 group-driven Phase B (or None when
     #: the native scanner is unavailable): m_pos/m_meta (matches, stream-
     #: global output offsets), r_pos/r_cell/r_j0len (literal runs in tape
     #: coordinates).  All offsets are merged-global.
@@ -71,20 +71,14 @@ def build_merged_plan(streams: list[bytes]) -> MergedPlan:
     bit_cursor = 0
     block_cursor = 0
     stored_cursor = 0
-    rec_parts = {k: [] for k in ("m_pos", "m_meta", "m_level", "r_pos",
+    rec_parts = {k: [] for k in ("m_pos", "m_meta", "r_pos",
                                  "r_cell", "r_j0len")}
     max_cell_tokens = 0
     for p, prec in zip(plans, recs_list):
         if have_recs:
-            from debigulator_tpu.native.scanner import level_matches
-
             cell_base = bit_cursor // v3.CELL_BITS
             rec_parts["m_pos"].append(prec["m_pos"] + out_cursor)
             rec_parts["m_meta"].append(prec["m_meta"])
-            rec_parts["m_level"].append(
-                level_matches(prec["m_pos"], prec["m_meta"],
-                              prec["out_size"])
-            )
             rec_parts["r_pos"].append(prec["r_pos"] + out_cursor)
             rec_parts["r_cell"].append(prec["r_cell"] + cell_base)
             rec_parts["r_j0len"].append(prec["r_j0len"])
@@ -206,12 +200,14 @@ def _pad_rec_rows(a: np.ndarray, stage_rows: int) -> np.ndarray:
     return out.reshape(rows, 128)
 
 
-def build_v8_arrays(mp: MergedPlan, n_seg: int) -> dict | None:
-    """Host prep for the record-driven Phase B: split records at output
-    segment boundaries, compute per-segment record ranges and per-tape-
-    chunk run ranges.  All numpy-vectorized; returns device arrays."""
+def build_v9_arrays(mp: MergedPlan, n_seg: int) -> dict | None:
+    """Host prep for the group-driven Phase B (v9): pack matches into
+    conflict-free groups of 8 (native dbg_pack_groups) and expand literal
+    runs into flat scatter indices (dst = output position, src = flat tape
+    index).  Returns device arrays, or None without native records."""
     import jax.numpy as jnp
 
+    from debigulator_tpu.native.scanner import pack_groups
     from debigulator_tpu.ops import lz77_pallas as lz
 
     if mp.recs is None:
@@ -219,85 +215,44 @@ def build_v8_arrays(mp: MergedPlan, n_seg: int) -> dict | None:
     plan = mp.plan
     recs = mp.recs
     slots = plan.slots
-    cpr = 128 // slots
-    cells_pad = -(-plan.num_cells // 128) * 128
-    chunk_cells = lz.V8_TAPE_WIN_ROWS * cpr
-    n_chunks = -(-cells_pad // chunk_cells)
     SEG = v3.SEG_BYTES
-    seg_starts = np.arange(n_seg, dtype=np.int64) * SEG
 
-    # --- matches: split the (single possible) segment-boundary crossing ---
-    mp_ = recs["m_pos"].astype(np.int64)
-    mm = recs["m_meta"].astype(np.int64)
-    ml = (mm >> 16) & 0xFFFF
-    md = mm & 0xFFFF
-    boundary = (mp_ // SEG + 1) * SEG
-    la = np.minimum(ml, boundary - mp_)
-    lb = ml - la
-    pos2 = np.stack([mp_, boundary], 1).reshape(-1)
-    len2 = np.stack([la, lb], 1).reshape(-1)
-    dist2 = np.stack([md, md], 1).reshape(-1)
-    keep = len2 > 0
-    mpos_f = pos2[keep]
-    mmeta_f = (len2[keep] << 16) | dist2[keep]
-    m_lo = np.searchsorted(mpos_f, seg_starts, side="left")
-    m_hi = np.searchsorted(mpos_f, seg_starts + SEG, side="left")
+    packed = pack_groups(recs["m_pos"], recs["m_meta"], SEG, n_seg)
+    if packed is None:
+        return None
+    g_pos, g_meta, seg_lo, seg_hi = packed
 
-    # --- literal runs: same split (j0 advances with the head part) ---
-    rp = recs["r_pos"].astype(np.int64)
-    rc = recs["r_cell"].astype(np.int64)
+    # --- literal runs -> flat scatter index arrays ------------------------
     rjl = recs["r_j0len"].astype(np.int64)
-    rj0 = rjl >> 8
     rln = rjl & 0xFF
-    boundary = (rp // SEG + 1) * SEG
-    la = np.minimum(rln, boundary - rp)
-    lb = rln - la
-    pos2 = np.stack([rp, boundary], 1).reshape(-1)
-    cell2 = np.stack([rc, rc], 1).reshape(-1)
-    j02 = np.stack([rj0, rj0 + la], 1).reshape(-1)
-    len2 = np.stack([la, lb], 1).reshape(-1)
-    keep = len2 > 0
-    rpos_f = pos2[keep]
-    rcell_f = cell2[keep]
-    rjl_f = (j02[keep] << 8) | len2[keep]
-    r_lo = np.searchsorted(rpos_f, seg_starts, side="left")
-    r_hi = np.searchsorted(rpos_f, seg_starts + SEG, side="left")
+    total = int(rln.sum())
+    if total:
+        rep = np.repeat(np.arange(len(rln)), rln)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(rln)[:-1]]), rln
+        )
+        run_dst = recs["r_pos"].astype(np.int64)[rep] + offs
+        run_src = (
+            recs["r_cell"].astype(np.int64)[rep] * slots
+            + (rjl[rep] >> 8)
+            + offs
+        )
+    else:
+        run_dst = np.zeros(0, np.int64)
+        run_src = np.zeros(0, np.int64)
 
-    chunk_bounds = np.arange(n_chunks + 1, dtype=np.int64) * chunk_cells
-    c_edges = np.searchsorted(rcell_f, chunk_bounds, side="left")
-    clo = c_edges[:-1].astype(np.int32)
-    chi = c_edges[1:].astype(np.int32)
+    lims = np.zeros((n_seg, 8), np.int32)
+    lims[:, 0] = seg_lo
+    lims[:, 1] = seg_hi
+    lims[:, 2] = (np.arange(n_seg, dtype=np.int64) * SEG).astype(np.int32)
 
-    nonempty = r_hi > r_lo
-    ch_lo = np.where(
-        nonempty,
-        (rcell_f[np.clip(r_lo, 0, max(len(rcell_f) - 1, 0))] // chunk_cells
-         if len(rcell_f) else 0),
-        0,
-    )
-    ch_hi = np.where(
-        nonempty,
-        (rcell_f[np.clip(r_hi - 1, 0, max(len(rcell_f) - 1, 0))]
-         // chunk_cells + 1 if len(rcell_f) else 0),
-        0,
-    )
-
-    lims = np.stack(
-        [m_lo, m_hi, r_lo, r_hi, seg_starts, ch_lo, ch_hi,
-         np.zeros(n_seg, np.int64)],
-        axis=1,
-    ).astype(np.int32)
-
-    sr = lz.V8_STAGE_ROWS
+    sr = lz.V9_STAGE_ROWS
     return {
         "lims": jnp.asarray(lims),
-        "clo": jnp.asarray(clo),
-        "chi": jnp.asarray(chi),
-        "rpos": jnp.asarray(_pad_rec_rows(rpos_f.astype(np.int32), sr)),
-        "rcell": jnp.asarray(_pad_rec_rows(rcell_f.astype(np.int32), sr)),
-        "rjl": jnp.asarray(_pad_rec_rows(rjl_f.astype(np.int32), sr)),
-        "mpos": jnp.asarray(_pad_rec_rows(mpos_f.astype(np.int32), sr)),
-        "mmeta": jnp.asarray(_pad_rec_rows(mmeta_f.astype(np.int32), sr)),
+        "gpos": jnp.asarray(_pad_rec_rows(g_pos, sr)),
+        "gmeta": jnp.asarray(_pad_rec_rows(g_meta, sr)),
+        "run_dst": jnp.asarray(run_dst.astype(np.int32)),
+        "run_src": jnp.asarray(run_src.astype(np.int32)),
     }
 
 
@@ -319,32 +274,32 @@ def prepare_merged(mp: MergedPlan, interpret: bool | None = None):
         interpret = jax.default_backend() == "cpu"
     n_seg = v3._round_pow2(max(1, -(-plan.out_size // v3.SEG_BYTES)), 1)
     pa = build_pa_arrays(plan) if plan.exact_entries else None
-    v8 = build_v8_arrays(mp, n_seg) if plan.exact_entries else None
+    v9 = build_v9_arrays(mp, n_seg) if plan.exact_entries else None
 
-    if v8 is not None and pa is not None:
-        # v8 record-driven path: the scanner's exact per-cell token bound
+    if v9 is not None and pa is not None:
+        # v9 group-driven path: the scanner's exact per-cell token bound
         # makes tape overflow impossible — no probe call needed.
         sp = jnp.asarray(plan.stored_pos)
         sv = jnp.asarray(plan.stored_val)
         slots = plan.slots
 
         def run():
-            return v3._inflate_v8_jit(
-                pa, v8, sp, sv, slots, n_seg, interpret=interpret,
+            return v3._inflate_v9_jit(
+                pa, v9, sp, sv, slots, n_seg, interpret=interpret,
             )
 
         return run
 
     arrays = v3.plan_arrays_v3(plan)
 
-    if v8 is not None:
+    if v9 is not None:
         # Dense-block plans (Pallas Phase A tile spans >1 table page):
-        # XLA Phase A + record-driven Phase B.
+        # XLA Phase A + group-driven Phase B.
         slots = plan.slots
 
         def run_x():
-            return v3._inflate_v8x_jit(
-                arrays, v8, plan.n_bits, slots, n_seg, interpret=interpret,
+            return v3._inflate_v9x_jit(
+                arrays, v9, plan.n_bits, slots, n_seg, interpret=interpret,
             )
 
         return run_x

@@ -480,25 +480,224 @@ int64_t dbg_scan2(const uint8_t* data, uint64_t size,
   return nb;
 }
 
-// Dependency leveling for device-parallel match resolution: level(j) =
-// 1 + max level of any match whose destination overlaps match j's source
-// (literals/stored bytes are level 0).  Matches at equal level are
-// mutually independent, so the device kernel can resolve a level-sorted
-// group with all loads issued before all stores.  levmap must be
-// out_size int32, zero-initialized by the caller.
-void dbg_level_matches(const int32_t* m_pos, const int32_t* m_meta,
-                       int64_t n, int32_t* levmap, int32_t* levels_out) {
-  for (int64_t j = 0; j < n; j++) {
-    int64_t d = m_pos[j];
-    int64_t l = (m_meta[j] >> 16) & 0xFFFF;
-    int64_t s = d - (m_meta[j] & 0xFFFF);
-    int32_t lv = 0;
-    for (int64_t k = s; k < s + l; k++)
-      if (levmap[k] > lv) lv = levmap[k];
-    lv += 1;
-    levels_out[j] = lv;
-    for (int64_t k = d; k < d + l; k++) levmap[k] = lv;
+// ---------------------------------------------------------------------------
+// Group packing for the v9 match kernel.
+//
+// The device kernel executes groups of GROUP=8 match copies with all loads
+// issued before all stores and NO conflict checking, so every group must be
+// internally clean: no slot's source range may overlap another slot's (or
+// its own) destination range.  This packer guarantees that by construction:
+//
+//  * long matches (len > 128) are split into <=128-byte pieces — for
+//    dist >= len the pieces are mutually clean (src block lies entirely
+//    below the first dst), so they can share a group;
+//  * RLE matches (dist < len) are split into pattern-doubling pieces, each
+//    with dist_k >= len_k; consecutive pieces conflict (each reads the
+//    previous piece's output), which the group packer resolves by placing
+//    them in successive groups;
+//  * a small in-order deferred queue lets a blocked match wait while later
+//    independent matches fill the current group (safe: with dist >= len,
+//    src+len <= dst, so an earlier match never reads a later match's
+//    destination — executing a later match early cannot disturb it);
+//  * groups never span a seg_bytes output boundary, and a piece crossing
+//    the boundary is split there (the kernel resolves one segment per
+//    launch with only a 32 KiB carried tail).
+//
+// Padding slots get len 0 and pos = segment start.  Outputs: g_pos/g_meta
+// (n_slots entries, multiple of GROUP), seg_lo/seg_hi per-segment slot
+// ranges.  Returns n_slots, or -1 if max_slots is too small.
+// ---------------------------------------------------------------------------
+
+static const int kGroup = 8;
+static const int kPieceMax = 128;
+static const int kDeferMax = 64;
+
+struct PieceSrc {
+  const int32_t* m_pos;
+  const int32_t* m_meta;
+  int64_t n;
+  int64_t i;        // next match
+  // split state for the current match
+  int64_t dst, src, remaining;
+  int64_t avail;     // RLE mode: length of the materialized periodic run
+  int64_t rle_dist;  // RLE mode: the period; 0 = plain (dist >= len)
+  int64_t seg_bytes;
+
+  bool next(int64_t* p_dst, int64_t* p_src, int64_t* p_len) {
+    while (remaining == 0) {
+      if (i >= n) return false;
+      int64_t d = m_pos[i];
+      int64_t l = (m_meta[i] >> 16) & 0xFFFF;
+      int64_t dist = m_meta[i] & 0xFFFF;
+      i++;
+      if (l <= 0) continue;
+      dst = d;
+      src = d - dist;
+      remaining = l;
+      if (dist < l) {  // RLE: grow the periodic run by doubling
+        rle_dist = dist;
+        avail = dist;
+      } else {
+        rle_dist = 0;
+      }
+    }
+    int64_t len, piece_dist;
+    if (rle_dist == 0) {
+      len = remaining < kPieceMax ? remaining : kPieceMax;
+      piece_dist = dst - src;
+    } else {
+      // The run out[src, dst) has period rle_dist; any copy whose
+      // distance is a multiple of the period extends it correctly and
+      // stays clean (len <= dist).  Take the largest such distance.
+      piece_dist = avail - avail % rle_dist;
+      len = piece_dist < remaining ? piece_dist : remaining;
+      if (len > kPieceMax) len = kPieceMax;
+    }
+    // split at the segment boundary on the dst side
+    int64_t seg_end = (dst / seg_bytes + 1) * seg_bytes;
+    if (dst + len > seg_end) len = seg_end - dst;
+    *p_dst = dst;
+    *p_src = dst - piece_dist;
+    *p_len = len;
+    dst += len;
+    if (rle_dist == 0) src += len;
+    else avail += len;
+    remaining -= len;
+    return true;
   }
+};
+
+int64_t dbg_pack_groups(const int32_t* m_pos, const int32_t* m_meta,
+                        int64_t n, int64_t seg_bytes, int64_t n_seg,
+                        int32_t* g_pos, int32_t* g_meta, int64_t max_slots,
+                        int32_t* seg_lo, int32_t* seg_hi) {
+  PieceSrc ps{m_pos, m_meta, n,
+              /*i=*/0, /*dst=*/0, /*src=*/0, /*remaining=*/0,
+              /*avail=*/0, /*rle_dist=*/0, seg_bytes};
+  struct Pc { int64_t dst, src, len; };
+  Pc defer[kDeferMax];
+  int n_defer = 0;
+  bool src_done = false;
+
+  int64_t slot = 0;
+  int64_t cur_seg = 0;
+  if (n_seg > 0) seg_lo[0] = 0;
+
+  Pc group[kGroup];
+  int gn = 0;
+  int64_t group_seg = -1;  // segment of the current group (-1 = empty)
+
+  auto flush = [&]() -> bool {
+    if (gn == 0) return true;
+    if (slot + kGroup > max_slots) return false;
+    int64_t seg_start = group_seg * seg_bytes;
+    for (int k = 0; k < kGroup; k++) {
+      if (k < gn) {
+        g_pos[slot + k] = (int32_t)group[k].dst;
+        g_meta[slot + k] = (int32_t)((group[k].len << 16) |
+                                     (group[k].dst - group[k].src));
+      } else {
+        g_pos[slot + k] = (int32_t)seg_start;
+        g_meta[slot + k] = 0;
+      }
+    }
+    slot += kGroup;
+    gn = 0;
+    group_seg = -1;
+    return true;
+  };
+
+  // src range [s, s+l) vs dst range of pending pieces (group + earlier
+  // deferred entries that remain unplaced).
+  auto conflicts = [&](const Pc& c, int defer_upto) -> bool {
+    for (int k = 0; k < gn; k++)
+      if (c.src < group[k].dst + group[k].len && c.src + c.len > group[k].dst)
+        return true;
+    for (int k = 0; k < defer_upto; k++)
+      if (defer[k].len > 0 && c.src < defer[k].dst + defer[k].len &&
+          c.src + c.len > defer[k].dst)
+        return true;
+    return false;
+  };
+
+  auto seg_of = [&](int64_t dst) { return dst / seg_bytes; };
+
+  auto advance_seg = [&](int64_t seg) -> bool {
+    while (cur_seg < seg) {
+      seg_hi[cur_seg] = (int32_t)slot;
+      cur_seg++;
+      if (cur_seg < n_seg) seg_lo[cur_seg] = (int32_t)slot;
+    }
+    return true;
+  };
+
+  auto place = [&](const Pc& c) { group[gn++] = c; };
+
+  for (;;) {
+    // Try deferred entries first (in order), then pull fresh pieces.
+    bool placed_any = false;
+    for (int k = 0; k < n_defer && gn < kGroup; k++) {
+      if (defer[k].len <= 0) continue;
+      int64_t seg = seg_of(defer[k].dst);
+      if (group_seg >= 0 && seg != group_seg) continue;
+      if (conflicts(defer[k], k)) continue;
+      if (group_seg < 0) {
+        if (!advance_seg(seg)) return -1;
+        group_seg = seg;
+      }
+      place(defer[k]);
+      defer[k].len = 0;
+      placed_any = true;
+    }
+    // compact the deferred queue
+    int w = 0;
+    for (int k = 0; k < n_defer; k++)
+      if (defer[k].len > 0) defer[w++] = defer[k];
+    n_defer = w;
+
+    while (gn < kGroup && !src_done && n_defer < kDeferMax) {
+      Pc c;
+      if (!ps.next(&c.dst, &c.src, &c.len)) { src_done = true; break; }
+      int64_t seg = seg_of(c.dst);
+      if ((group_seg >= 0 && seg != group_seg) || conflicts(c, n_defer)) {
+        defer[n_defer++] = c;
+        continue;
+      }
+      if (group_seg < 0) {
+        if (!advance_seg(seg)) return -1;
+        group_seg = seg;
+      }
+      place(c);
+      placed_any = true;
+    }
+
+    if (gn > 0) {
+      if (!flush()) return -1;
+      continue;
+    }
+    if (n_defer > 0) {
+      if (placed_any) continue;
+      // Group is empty and nothing placed: defer[0]'s blockers have all
+      // executed, so it is always placeable — seed the next group with it.
+      if (!advance_seg(seg_of(defer[0].dst))) return -1;
+      group_seg = seg_of(defer[0].dst);
+      place(defer[0]);
+      defer[0].len = 0;
+      int w2 = 0;
+      for (int k = 0; k < n_defer; k++)
+        if (defer[k].len > 0) defer[w2++] = defer[k];
+      n_defer = w2;
+      continue;
+    }
+    if (src_done) break;
+  }
+  if (!flush()) return -1;
+  while (cur_seg < n_seg) {
+    seg_hi[cur_seg] = (int32_t)slot;
+    cur_seg++;
+    if (cur_seg < n_seg) seg_lo[cur_seg] = (int32_t)slot;
+  }
+  return slot;
 }
 
 // ---------------------------------------------------------------------------

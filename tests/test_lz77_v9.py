@@ -1,10 +1,10 @@
-"""v8 record-driven pipeline: native scanner records + Pallas kernels.
+"""v9 group-driven pipeline: packed match groups + Pallas kernels.
 
-The v8 Phase B consumes dense host-scanned token records (matches +
-literal runs) instead of walking the tape per token (reference analog:
-the symbol loop at inflate.c:1697-1909, here split host-index/device-
-execute).  All tests run the real kernel in interpret mode on CPU and
-gate on bit-exactness vs Python zlib.
+The v9 Phase B consumes conflict-free groups of 8 match copies packed by
+the native scanner (dbg_pack_groups), with literal runs scattered by XLA
+(reference analog: the symbol loop at inflate.c:1697-1909, here split
+host-index/device-execute).  All tests run the real kernel in interpret
+mode on CPU and gate on bit-exactness vs Python zlib.
 """
 
 import random
@@ -26,34 +26,34 @@ def _deflate(data: bytes, level: int = 6, strategy=zlib.Z_DEFAULT_STRATEGY):
     return co.compress(data) + co.flush()
 
 
-def _decode_v8(streams):
+def _decode_v9(streams):
     from debigulator_tpu.parallel.merged import (
         build_merged_plan,
-        build_v8_arrays,
+        build_v9_arrays,
     )
 
     mp = build_merged_plan(streams)
     assert mp.recs is not None, "native records required"
     plan = mp.plan
     n_seg = v3._round_pow2(max(1, -(-plan.out_size // v3.SEG_BYTES)), 1)
-    v8 = build_v8_arrays(mp, n_seg)
-    assert v8 is not None
+    v9 = build_v9_arrays(mp, n_seg)
+    assert v9 is not None
     import jax.numpy as jnp
 
     from debigulator_tpu.ops.phase_a_pallas import build_pa_arrays
 
     pa = build_pa_arrays(plan)
     if pa is not None:
-        body = v3._inflate_v8_jit(
-            pa, v8, jnp.asarray(plan.stored_pos),
+        body = v3._inflate_v9_jit(
+            pa, v9, jnp.asarray(plan.stored_pos),
             jnp.asarray(plan.stored_val),
             plan.slots, n_seg, interpret=True,
         )
     else:
-        # Dense-block fallback: XLA Phase A + record-driven Phase B.
+        # Dense-block fallback: XLA Phase A + group-driven Phase B.
         arrays = v3.plan_arrays_v3(plan)
-        body = v3._inflate_v8x_jit(
-            arrays, v8, plan.n_bits, plan.slots, n_seg, interpret=True,
+        body = v3._inflate_v9x_jit(
+            arrays, v9, plan.n_bits, plan.slots, n_seg, interpret=True,
         )
     out = np.asarray(body[: plan.out_size]).astype(np.uint8)
     return [
@@ -88,16 +88,16 @@ def test_scanner_records_match_oracle():
 
 
 @pytest.mark.parametrize("level", [1, 6, 9])
-def test_v8_single_stream_levels(level):
+def test_v9_single_stream_levels(level):
     data = bytes(
         "".join(random.Random(level).choice("abcdefgh \n") for _ in range(20000)),
         "ascii",
     )
-    got = _decode_v8([_deflate(data, level)])
+    got = _decode_v9([_deflate(data, level)])
     assert got == [data]
 
 
-def test_v8_batch_mixed():
+def test_v9_batch_mixed():
     rng = random.Random(7)
     datas = [
         b"a" * 30000,                                  # deep RLE chains
@@ -108,11 +108,11 @@ def test_v8_batch_mixed():
         b"",                                           # empty stream
     ]
     streams = [_deflate(d, 6) for d in datas]
-    got = _decode_v8(streams)
+    got = _decode_v9(streams)
     assert got == [bytes(d) for d in datas]
 
 
-def test_v8_stored_mixed_with_huffman():
+def test_v9_stored_mixed_with_huffman():
     """Stored blocks interleaved with compressed blocks (flush forces
     block boundaries; level 0 members are stored-only)."""
     rng = random.Random(9)
@@ -126,32 +126,32 @@ def test_v8_stored_mixed_with_huffman():
         parts.append(co.flush(zlib.Z_FULL_FLUSH))
     parts.append(co.flush())
     stream = b"".join(parts)
-    got = _decode_v8([stream])
+    got = _decode_v9([stream])
     assert got == [data]
 
 
-def test_v8_segment_boundary_crossing():
+def test_v9_segment_boundary_crossing():
     """Matches and runs crossing SEG_BYTES boundaries split correctly:
     output larger than one segment with matches straddling the edge."""
     rng = random.Random(11)
     base = bytes(rng.randbytes(97)) * ((v3.SEG_BYTES + 200000) // 97 + 1)
     data = base[: v3.SEG_BYTES + 190000]
-    got = _decode_v8([_deflate(data, 6)])
+    got = _decode_v9([_deflate(data, 6)])
     assert got == [data]
 
 
-def test_v8_window_carry_across_segments():
+def test_v9_window_carry_across_segments():
     """Back-references reaching into the previous output segment resolve
     through the carried 32 KiB window tail."""
     rng = random.Random(13)
     head = bytes(rng.randbytes(30000))
     # Repeat the head far apart so late matches reference old output.
     data = head + bytes(rng.randbytes(v3.SEG_BYTES - 15000)) + head
-    got = _decode_v8([_deflate(data, 9)])
+    got = _decode_v9([_deflate(data, 9)])
     assert got == [data]
 
 
-def test_v8_gzipsample(corpus_dir):
+def test_v9_gzipsample(corpus_dir):
     import gzip as pg
 
     raw = (corpus_dir / "gzipsample.gz").read_bytes()
@@ -160,5 +160,5 @@ def test_v8_gzipsample(corpus_dir):
 
     m = parse_gzip_members(raw)[0]
     stream = raw[m.deflate_start : m.deflate_end]
-    got = _decode_v8([stream, stream])
+    got = _decode_v9([stream, stream])
     assert got == [expected, expected]
