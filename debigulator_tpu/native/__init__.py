@@ -77,6 +77,8 @@ def get_lib():
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
     ]
     lib.dbg_pack_groups.restype = ctypes.c_int64
     lib.dbg_pack_groups.argtypes = [

@@ -153,6 +153,7 @@ def scan_stream_records(data: bytes, cell_bits: int):
     # Worst case one token per compressed bit; start smaller and grow.
     max_m = max(1024, len(data) * 2)
     max_r = max(1024, len(data) * 2)
+    max_l = max(1024, len(data) * 8)
     while True:
         blocks = (_BlockRec * max_blocks)()
         lengths = np.zeros(max_blocks * 320, np.int32)
@@ -164,9 +165,11 @@ def scan_stream_records(data: bytes, cell_bits: int):
         r_pos = np.zeros(max_r, np.int32)
         r_cell = np.zeros(max_r, np.int32)
         r_j0len = np.zeros(max_r, np.int32)
+        lit_bytes = np.zeros(max_l, np.uint8)
         n_cells = ctypes.c_int64(0)
         n_m = ctypes.c_int64(0)
         n_r = ctypes.c_int64(0)
+        n_l = ctypes.c_int64(0)
         mct = ctypes.c_int32(0)
         out_size = ctypes.c_uint64(0)
         nb = lib.dbg_scan2(
@@ -186,6 +189,8 @@ def scan_stream_records(data: bytes, cell_bits: int):
             max_r, ctypes.byref(n_r),
             ctypes.byref(mct),
             ctypes.byref(out_size),
+            lit_bytes.ctypes.data_as(ctypes.c_void_p),
+            max_l, ctypes.byref(n_l),
         )
         if nb == -2 or nb == -4:
             max_blocks *= 4
@@ -193,6 +198,7 @@ def scan_stream_records(data: bytes, cell_bits: int):
         if nb == -5:
             max_m *= 4
             max_r *= 4
+            max_l *= 4
             continue
         if nb < 0:
             raise InflateError(f"native scan2 failed (code {nb})")
@@ -223,6 +229,7 @@ def scan_stream_records(data: bytes, cell_bits: int):
         "r_pos": r_pos[: n_r.value].copy(),
         "r_cell": r_cell[: n_r.value].copy(),
         "r_j0len": r_j0len[: n_r.value].copy(),
+        "lit_bytes": lit_bytes[: n_l.value].copy(),
         "max_cell_tokens": int(mct.value),
         "out_size": int(out_size.value),
     }

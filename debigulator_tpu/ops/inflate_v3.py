@@ -970,22 +970,19 @@ def resolve_tape_segmented_v6(tape, counts, bob_cell, n_seg: int,
     return outs.reshape(-1)
 
 
-def resolve_groups_segmented_v9(tape, v9, n_seg: int,
-                                stored_pos, stored_val,
-                                interpret: bool = False):
-    """Phase B v9: group-driven — matches come as conflict-free groups of
-    8 (native dbg_pack_groups), so the kernel has no per-token bookkeeping
-    AND no conflict logic.  Literal runs never read the output, so XLA
-    scatters them (plus stored bytes) into the initial buffer; each
-    segment is then one Pallas kernel call inside a lax.scan carrying the
+def resolve_groups_segmented_v10(v9, n_seg: int,
+                                 stored_pos, stored_val,
+                                 interpret: bool = False):
+    """Phase B v10: fully host-fed — matches come as conflict-free groups
+    of 8 (native dbg_pack_groups) and literal runs as copy pieces over the
+    dense host literal array, so the kernel needs no Phase A tape and the
+    only XLA scatter left is the (tiny) stored-block byte placement.  Each
+    segment is one Pallas kernel call inside a lax.scan carrying the
     32 KiB window tail."""
     from debigulator_tpu.ops import lz77_pallas as lz
 
     total = n_seg * SEG_BYTES
     out_flat = jnp.zeros(total, jnp.int32)
-    if v9["run_dst"].shape[0]:
-        lit_vals = tape.reshape(-1)[v9["run_src"]] & 0xFF
-        out_flat = out_flat.at[v9["run_dst"]].set(lit_vals, mode="drop")
     if stored_val.shape[0]:
         out_flat = out_flat.at[stored_pos].set(
             stored_val.astype(jnp.int32), mode="drop"
@@ -999,8 +996,9 @@ def resolve_groups_segmented_v9(tape, v9, n_seg: int,
     def seg_step(tail, inp):
         seg_body, lim = inp
         init = jnp.concatenate([pad, tail, seg_body, slack], axis=0)
-        out2d = lz.resolve_groups_v9(
-            init, lim, v9["gpos"], v9["gmeta"], interpret=interpret,
+        out2d = lz.resolve_groups_v10(
+            init, lim, v9["gpos"], v9["gmeta"], v9["lpos"], v9["lmeta"],
+            v9["lit"], seg_bytes=SEG_BYTES, interpret=interpret,
         )
         body = out2d[lz.PAD // 128 + win_rows : -4]
         new_tail = out2d[-4 - win_rows : -4]
@@ -1013,36 +1011,14 @@ def resolve_groups_segmented_v9(tape, v9, n_seg: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("slots", "n_seg", "interpret"),
+    static_argnames=("n_seg", "interpret"),
 )
-def _inflate_v9_jit(pa, v9, stored_pos, stored_val, slots, n_seg,
-                    interpret=False):
-    """Fused v9 pipeline: Pallas Phase A (graph+chase in VMEM) + the
-    group-driven Phase B — one device call, no token-granular XLA work."""
-    from debigulator_tpu.ops.phase_a_pallas import phase_a_pallas
-
-    tape, _counts = phase_a_pallas(pa, slots, interpret=interpret)
-    body = resolve_groups_segmented_v9(
-        tape, v9, n_seg, stored_pos, stored_val, interpret=interpret,
-    )
-    return body
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_bits", "slots", "n_seg", "interpret"),
-)
-def _inflate_v9x_jit(arrays, v9, n_bits, slots, n_seg, interpret=False):
-    """v9 Phase B behind the XLA Phase A — covers exact plans the fused
-    Pallas Phase A can't (a 128-cell tile spanning >1 table page)."""
-    nxt, meta = build_graph_v3(arrays, n_bits)
-    tape, _overflow, _counts, _ = chase_cells(
-        nxt, meta, arrays["cell_entry"], n_bits, slots,
-        return_counts=True, exact=True, cell_pend=arrays["cell_pend"],
-    )
-    return resolve_groups_segmented_v9(
-        tape, v9, n_seg, arrays["stored_pos"], arrays["stored_val"],
-        interpret=interpret,
+def _inflate_v10_jit(v9, stored_pos, stored_val, n_seg, interpret=False):
+    """Fused v10 pipeline: the host scan feeds match groups + dense
+    literals straight into the group-driven Phase B — one device call,
+    no Phase A and no token-granular XLA work at all."""
+    return resolve_groups_segmented_v10(
+        v9, n_seg, stored_pos, stored_val, interpret=interpret,
     )
 
 

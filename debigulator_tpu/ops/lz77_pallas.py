@@ -925,6 +925,179 @@ def _group_kernel_v9(lim_ref, gpos_hbm, gmeta_hbm, init_ref, out_ref):
     )
 
 
+# ---------------------------------------------------------------------------
+# v10: fully host-fed Phase B.  The native scanner's literal bytes arrive as
+# a dense array (recs["lit"]), so literal runs become copy pieces from that
+# array — no XLA gather/scatter and no Phase A tape dependency at all.  One
+# segment launch: DMA the segment's literal slice into a VMEM scratch, commit
+# all literal-run pieces (masked span stores from the scratch), then resolve
+# the conflict-free match groups exactly as v9.  Replaces the reference's
+# entire symbol loop output path (inflate.c:1736-1747, :1861-1897).
+# ---------------------------------------------------------------------------
+
+
+def _lit_scratch_rows(seg_bytes: int) -> int:
+    return seg_bytes // 128 + 8
+
+
+def _group_kernel_v10(lim_ref, gpos_hbm, gmeta_hbm, lpos_hbm, lmeta_hbm,
+                      lit_hbm, init_ref, out_ref, *, seg_bytes: int):
+    """One output segment: literal-run pieces then match groups.
+
+    lim_ref: (8,) SMEM — [0]=match slot lo, [1]=match slot hi, [2]=segment
+    output offset, [3]=lit slot lo, [4]=lit slot hi, [5]=lit row base.
+    gpos/gmeta: match groups (v9 packing, len<=128, conflict-free by 8).
+    lpos/lmeta: literal pieces — lpos = dst (stream-global), lmeta =
+    len<<20 | src_rel where src_rel indexes the staged literal slice
+    (+128 for the scratch pad row); len <= CELL_BITS and pieces never read
+    the output, so any 8 can run as an unconditional group.
+    lit_hbm: (Lr, 128) int32 dense literal bytes (one per element).
+    init_ref aliases out_ref: pad row + 32 KiB window + body + slack.
+    """
+    del init_ref
+    m_lo = lim_ref[0]
+    m_hi = lim_ref[1]
+    base_adj = (PAD + WINDOW) - lim_ref[2]
+    l_lo = lim_ref[3]
+    l_hi = lim_ref[4]
+    lit_base = lim_ref[5]
+    ls_rows = _lit_scratch_rows(seg_bytes)
+    flat2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0) * 128 + \
+        jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+
+    def body(gp_s, gm_s, lit_v, sem):
+        # --- stage this segment's literal slice (rows, masked by range) ---
+        @pl.when(l_hi > l_lo)
+        def _stage_lits():
+            dd = pltpu.make_async_copy(
+                lit_hbm.at[pl.ds(lit_base, ls_rows - 1)],
+                lit_v.at[pl.ds(1, ls_rows - 1)], sem)
+            dd.start()
+            dd.wait()
+
+        # --- literal-run pieces: unconditional groups of 8 ----------------
+        def lit_stage(si, _):
+            st = (l_lo >> 7) + si * V9_STAGE_ROWS
+            for hbm, smem in ((lpos_hbm, gp_s), (lmeta_hbm, gm_s)):
+                dd = pltpu.make_async_copy(
+                    hbm.at[pl.ds(st, V9_STAGE_ROWS), :], smem, sem)
+                dd.start()
+                dd.wait()
+            base = st * 128
+
+            def per_group(gi, _):
+                i0 = gi * V9_GROUP
+
+                @pl.when((base + i0 >= l_lo) & (base + i0 < l_hi))
+                def _grp():
+                    dsts, lens, datas = [], [], []
+                    for g in range(V9_GROUP):
+                        t = i0 + g
+                        meta = gm_s[t >> 7, t & 127]
+                        dst = gp_s[t >> 7, t & 127] + base_adj
+                        src = meta & 0xFFFFF
+                        dsts.append(dst)
+                        lens.append(meta >> 20)
+                        datas.append(
+                            _load_span_n(lit_v, src - (dst & 127), 3)
+                        )
+                    for g in range(V9_GROUP):
+                        rp = dsts[g] & 127
+                        mask = (flat2 >= rp) & (flat2 < rp + lens[g])
+                        pltpu.store(
+                            out_ref.at[pl.ds(dsts[g] >> 7, 2), :],
+                            datas[g][:2], mask=mask)
+
+                return 0
+
+            jax.lax.fori_loop(0, V9_STAGE_ROWS * 128 // V9_GROUP,
+                              per_group, 0)
+            return 0
+
+        n_lstages = (l_hi - (l_lo & ~127) + V9_STAGE_ROWS * 128 - 1) \
+            // (V9_STAGE_ROWS * 128)
+        jax.lax.fori_loop(0, n_lstages, lit_stage, 0)
+
+        # --- match groups (identical to v9) -------------------------------
+        def per_stage(si, _):
+            st = (m_lo >> 7) + si * V9_STAGE_ROWS
+            for hbm, smem in ((gpos_hbm, gp_s), (gmeta_hbm, gm_s)):
+                dd = pltpu.make_async_copy(
+                    hbm.at[pl.ds(st, V9_STAGE_ROWS), :], smem, sem)
+                dd.start()
+                dd.wait()
+            base = st * 128
+
+            def per_group(gi, _):
+                i0 = gi * V9_GROUP
+
+                @pl.when((base + i0 >= m_lo) & (base + i0 < m_hi))
+                def _grp():
+                    dsts, lens, datas = [], [], []
+                    for g in range(V9_GROUP):
+                        t = i0 + g
+                        meta = gm_s[t >> 7, t & 127]
+                        dst = gp_s[t >> 7, t & 127] + base_adj
+                        src = dst - (meta & 0xFFFF)
+                        dsts.append(dst)
+                        lens.append(meta >> 16)
+                        datas.append(
+                            _load_span_n(out_ref, src - (dst & 127), 3)
+                        )
+                    for g in range(V9_GROUP):
+                        rp = dsts[g] & 127
+                        mask = (flat2 >= rp) & (flat2 < rp + lens[g])
+                        pltpu.store(
+                            out_ref.at[pl.ds(dsts[g] >> 7, 2), :],
+                            datas[g][:2], mask=mask)
+
+                return 0
+
+            jax.lax.fori_loop(0, V9_STAGE_ROWS * 128 // V9_GROUP,
+                              per_group, 0)
+            return 0
+
+        n_stages = (m_hi - (m_lo & ~127) + V9_STAGE_ROWS * 128 - 1) \
+            // (V9_STAGE_ROWS * 128)
+        jax.lax.fori_loop(0, n_stages, per_stage, 0)
+
+    pl.run_scoped(
+        body,
+        gp_s=pltpu.SMEM((V9_STAGE_ROWS, 128), jnp.int32),
+        gm_s=pltpu.SMEM((V9_STAGE_ROWS, 128), jnp.int32),
+        lit_v=pltpu.VMEM((_lit_scratch_rows(seg_bytes), 128), jnp.int32),
+        sem=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def resolve_groups_v10(out_init, lim, gpos, gmeta, lpos, lmeta, lit,
+                       seg_bytes: int, interpret: bool = False):
+    """Run one v10 segment resolve inside jit.
+
+    out_init: (rows,128) int32 (pad row + window + body + slack, aliased).
+    lim: (8,) int32.  gpos/gmeta, lpos/lmeta: (rows,128) int32, rows a
+    multiple of V9_STAGE_ROWS plus one slack stage.  lit: (Lr,128) int32
+    dense literal bytes, Lr >= lit_row_base + scratch rows for every
+    segment.
+    """
+    return pl.pallas_call(
+        functools.partial(_group_kernel_v10, seg_bytes=seg_bytes),
+        out_shape=jax.ShapeDtypeStruct(out_init.shape, jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={6: 0},
+        interpret=interpret,
+    )(lim, gpos, gmeta, lpos, lmeta, lit, out_init)
+
+
 def resolve_groups_v9(out_init, lim, gpos, gmeta, interpret: bool = False):
     """Run one v9 segment resolve inside jit.
 

@@ -71,8 +71,9 @@ def build_merged_plan(streams: list[bytes]) -> MergedPlan:
     bit_cursor = 0
     block_cursor = 0
     stored_cursor = 0
+    lit_cursor = 0
     rec_parts = {k: [] for k in ("m_pos", "m_meta", "r_pos",
-                                 "r_cell", "r_j0len")}
+                                 "r_cell", "r_j0len", "r_lit0", "lit")}
     max_cell_tokens = 0
     for p, prec in zip(plans, recs_list):
         if have_recs:
@@ -82,6 +83,13 @@ def build_merged_plan(streams: list[bytes]) -> MergedPlan:
             rec_parts["r_pos"].append(prec["r_pos"] + out_cursor)
             rec_parts["r_cell"].append(prec["r_cell"] + cell_base)
             rec_parts["r_j0len"].append(prec["r_j0len"])
+            # Merged-global dense literal offsets: run r's literals start
+            # at the prefix sum of earlier run lengths (stream order).
+            rln = (prec["r_j0len"] & 0xFF).astype(np.int64)
+            lit0 = np.cumsum(rln) - rln + lit_cursor
+            rec_parts["r_lit0"].append(lit0.astype(np.int32))
+            rec_parts["lit"].append(prec["lit_bytes"])
+            lit_cursor += int(rln.sum())
             max_cell_tokens = max(max_cell_tokens, prec["max_cell_tokens"])
         used_cells = int(np.count_nonzero(p.cell_block >= 0))  # all cells
         # Used bit range = cells actually assigned (the tail of the pow2 pad
@@ -201,10 +209,11 @@ def _pad_rec_rows(a: np.ndarray, stage_rows: int) -> np.ndarray:
 
 
 def build_v9_arrays(mp: MergedPlan, n_seg: int) -> dict | None:
-    """Host prep for the group-driven Phase B (v9): pack matches into
-    conflict-free groups of 8 (native dbg_pack_groups) and expand literal
-    runs into flat scatter indices (dst = output position, src = flat tape
-    index).  Returns device arrays, or None without native records."""
+    """Host prep for the group-driven Phase B (v10): pack matches into
+    conflict-free groups of 8 (native dbg_pack_groups) and turn literal
+    runs into copy pieces sourced from the dense host literal array —
+    the kernel never needs the Phase A tape.  Returns device arrays, or
+    None without native records."""
     import jax.numpy as jnp
 
     from debigulator_tpu.native.scanner import pack_groups
@@ -212,9 +221,7 @@ def build_v9_arrays(mp: MergedPlan, n_seg: int) -> dict | None:
 
     if mp.recs is None:
         return None
-    plan = mp.plan
     recs = mp.recs
-    slots = plan.slots
     SEG = v3.SEG_BYTES
 
     packed = pack_groups(recs["m_pos"], recs["m_meta"], SEG, n_seg)
@@ -222,37 +229,84 @@ def build_v9_arrays(mp: MergedPlan, n_seg: int) -> dict | None:
         return None
     g_pos, g_meta, seg_lo, seg_hi = packed
 
-    # --- literal runs -> flat scatter index arrays ------------------------
-    rjl = recs["r_j0len"].astype(np.int64)
-    rln = rjl & 0xFF
-    total = int(rln.sum())
-    if total:
-        rep = np.repeat(np.arange(len(rln)), rln)
-        offs = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(rln)[:-1]]), rln
-        )
-        run_dst = recs["r_pos"].astype(np.int64)[rep] + offs
-        run_src = (
-            recs["r_cell"].astype(np.int64)[rep] * slots
-            + (rjl[rep] >> 8)
-            + offs
-        )
-    else:
-        run_dst = np.zeros(0, np.int64)
-        run_src = np.zeros(0, np.int64)
+    # --- literal runs -> pieces over the dense literal array --------------
+    # Piece = (dst, lit0, len); split at SEG boundaries (run len <= 64 so
+    # at most one split), then bucket per segment and pad each segment's
+    # slot range to a multiple of V9_GROUP.
+    rln = (recs["r_j0len"].astype(np.int64) & 0xFF)
+    dst = recs["r_pos"].astype(np.int64)
+    lit0 = recs["r_lit0"].astype(np.int64)
+    boundary = (dst // SEG + 1) * SEG
+    len_a = np.minimum(rln, boundary - dst)
+    len_b = rln - len_a
+    p_dst = np.stack([dst, boundary], 1).reshape(-1)
+    p_lit = np.stack([lit0, lit0 + len_a], 1).reshape(-1)
+    p_len = np.stack([len_a, len_b], 1).reshape(-1)
+    keep = p_len > 0
+    p_dst, p_lit, p_len = p_dst[keep], p_lit[keep], p_len[keep]
+    # Array order is dst order (A/B interleave preserves it within a run
+    # and across runs), so a stable per-segment bucketing keeps literal
+    # offsets monotone inside each segment.
+    seg_id = np.clip(p_dst // SEG, 0, n_seg - 1)
+    order = np.argsort(seg_id, kind="stable")
+    p_dst, p_lit, p_len, seg_id = (
+        p_dst[order], p_lit[order], p_len[order], seg_id[order])
+    counts = np.bincount(seg_id, minlength=n_seg)
+    padded = -(-counts // lz.V9_GROUP) * lz.V9_GROUP
+    starts_in = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    starts_out = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    n_slots = int(padded.sum())
+    l_pos = np.zeros(n_slots, np.int64)
+    l_meta = np.zeros(n_slots, np.int64)
+    l_lo = starts_out.astype(np.int32)
+    l_hi = (starts_out + counts).astype(np.int32)
+    lit_row_base = np.zeros(n_seg, np.int32)
+    # Scatter pieces to padded slots: out index = starts_out[seg] + rank.
+    rank = np.arange(len(p_dst)) - starts_in[seg_id]
+    slot = starts_out[seg_id] + rank
+    # Per-segment literal slice base (row-aligned); offsets relative +128
+    # for the kernel scratch pad row.
+    if len(p_dst):
+        seg_has = counts > 0
+        first_lit = np.zeros(n_seg, np.int64)
+        first_lit[seg_has] = p_lit[starts_in[np.nonzero(seg_has)[0]]]
+        lit_row_base = (first_lit >> 7).astype(np.int32)
+        rel = p_lit - (lit_row_base.astype(np.int64)[seg_id] << 7) + 128
+        l_pos[slot] = p_dst
+        l_meta[slot] = (p_len << 20) | rel
+        assert rel.max(initial=0) < (1 << 20), "literal slice overflow"
+    # Padding slots: pos = their segment's output offset, meta 0.
+    pad_seg = np.repeat(np.arange(n_seg), padded - counts)
+    pad_slot = np.concatenate(
+        [np.arange(starts_out[s] + counts[s], starts_out[s] + padded[s])
+         for s in range(n_seg)]
+    ) if (padded - counts).any() else np.zeros(0, np.int64)
+    if len(pad_slot):
+        l_pos[pad_slot] = pad_seg * SEG
 
     lims = np.zeros((n_seg, 8), np.int32)
     lims[:, 0] = seg_lo
     lims[:, 1] = seg_hi
     lims[:, 2] = (np.arange(n_seg, dtype=np.int64) * SEG).astype(np.int32)
+    lims[:, 3] = l_lo
+    lims[:, 4] = l_hi
+    lims[:, 5] = lit_row_base
 
+    # Dense literal bytes as (Lr, 128) int32, padded so every segment's
+    # fixed scratch DMA window stays in bounds.
+    lit = recs["lit"]
+    ls_rows = lz._lit_scratch_rows(SEG)
+    lr = -(-max(len(lit), 1) // 128) + ls_rows
+    lit32 = np.zeros(lr * 128, np.int32)
+    lit32[: len(lit)] = lit
     sr = lz.V9_STAGE_ROWS
     return {
         "lims": jnp.asarray(lims),
         "gpos": jnp.asarray(_pad_rec_rows(g_pos, sr)),
         "gmeta": jnp.asarray(_pad_rec_rows(g_meta, sr)),
-        "run_dst": jnp.asarray(run_dst.astype(np.int32)),
-        "run_src": jnp.asarray(run_src.astype(np.int32)),
+        "lpos": jnp.asarray(_pad_rec_rows(l_pos.astype(np.int32), sr)),
+        "lmeta": jnp.asarray(_pad_rec_rows(l_meta.astype(np.int32), sr)),
+        "lit": jnp.asarray(lit32.reshape(lr, 128)),
     }
 
 
@@ -273,36 +327,22 @@ def prepare_merged(mp: MergedPlan, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n_seg = v3._round_pow2(max(1, -(-plan.out_size // v3.SEG_BYTES)), 1)
-    pa = build_pa_arrays(plan) if plan.exact_entries else None
     v9 = build_v9_arrays(mp, n_seg) if plan.exact_entries else None
 
-    if v9 is not None and pa is not None:
-        # v9 group-driven path: the scanner's exact per-cell token bound
-        # makes tape overflow impossible — no probe call needed.
+    if v9 is not None:
+        # v10 host-fed path: match groups + dense literals from the
+        # scanner; no Phase A, no overflow probe.
         sp = jnp.asarray(plan.stored_pos)
         sv = jnp.asarray(plan.stored_val)
-        slots = plan.slots
 
         def run():
-            return v3._inflate_v9_jit(
-                pa, v9, sp, sv, slots, n_seg, interpret=interpret,
-            )
+            return v3._inflate_v10_jit(v9, sp, sv, n_seg,
+                                       interpret=interpret)
 
         return run
 
+    pa = build_pa_arrays(plan) if plan.exact_entries else None
     arrays = v3.plan_arrays_v3(plan)
-
-    if v9 is not None:
-        # Dense-block plans (Pallas Phase A tile spans >1 table page):
-        # XLA Phase A + group-driven Phase B.
-        slots = plan.slots
-
-        def run_x():
-            return v3._inflate_v9x_jit(
-                arrays, v9, plan.n_bits, slots, n_seg, interpret=interpret,
-            )
-
-        return run_x
 
     def call(slots: int):
         if pa is not None:

@@ -229,6 +229,13 @@ struct ScanRecs {
   int64_t max_runs;
   int64_t n_runs;
   int32_t max_cell_tokens;
+  // Dense literal bytes in output order (v10 pipeline): literal k of the
+  // stream (counting every literal token once, in stream order) lands at
+  // lit_bytes[k].  Run r's literals occupy [sum of earlier run lens, +len)
+  // — the host derives per-run offsets by prefix-summing r_j0len&0xFF.
+  uint8_t* lit_bytes;
+  int64_t max_lits;
+  int64_t n_lits;
 };
 
 // Scan a raw DEFLATE stream: fill block records + per-block code lengths
@@ -377,6 +384,10 @@ static int64_t scan_impl(const uint8_t* data, uint64_t size,
               run_len = 1;
               run_pos = (int64_t)out_at;
             }
+            if (recs->lit_bytes) {
+              if (recs->n_lits >= recs->max_lits) return -5;
+              recs->lit_bytes[recs->n_lits++] = (uint8_t)sym;
+            }
           }
           if (produce) {
             if (out_at >= out_cap) return -3;
@@ -468,15 +479,19 @@ int64_t dbg_scan2(const uint8_t* data, uint64_t size,
                   int32_t* r_pos, int32_t* r_cell, int32_t* r_j0len,
                   int64_t max_runs, int64_t* n_runs_ret,
                   int32_t* max_cell_tokens_ret,
-                  uint64_t* out_size_ret) {
+                  uint64_t* out_size_ret,
+                  uint8_t* lit_bytes, int64_t max_lits,
+                  int64_t* n_lits_ret) {
   ScanRecs recs{m_pos, m_meta, max_matches, 0,
-                r_pos, r_cell, r_j0len, max_runs, 0, 0};
+                r_pos, r_cell, r_j0len, max_runs, 0, 0,
+                lit_bytes, max_lits, 0};
   int64_t nb = scan_impl(data, size, blocks, max_blocks, lengths_buf,
                          nullptr, 0, out_size_ret, cell_bits, cell_states,
                          cell_pend, max_cells, n_cells_ret, &recs);
   if (n_matches_ret) *n_matches_ret = recs.n_matches;
   if (n_runs_ret) *n_runs_ret = recs.n_runs;
   if (max_cell_tokens_ret) *max_cell_tokens_ret = recs.max_cell_tokens;
+  if (n_lits_ret) *n_lits_ret = recs.n_lits;
   return nb;
 }
 

@@ -1,10 +1,11 @@
-"""v9 group-driven pipeline: packed match groups + Pallas kernels.
+"""v10 group-driven pipeline: packed match groups + host literals.
 
-The v9 Phase B consumes conflict-free groups of 8 match copies packed by
-the native scanner (dbg_pack_groups), with literal runs scattered by XLA
-(reference analog: the symbol loop at inflate.c:1697-1909, here split
-host-index/device-execute).  All tests run the real kernel in interpret
-mode on CPU and gate on bit-exactness vs Python zlib.
+The v10 Phase B consumes conflict-free groups of 8 match copies packed by
+the native scanner (dbg_pack_groups) and literal runs as copy pieces over
+the scanner's dense literal-byte array (reference analog: the symbol loop
+at inflate.c:1697-1909, here split host-index/device-execute).  All tests
+run the real kernel in interpret mode on CPU and gate on bit-exactness vs
+Python zlib.
 """
 
 import random
@@ -40,21 +41,10 @@ def _decode_v9(streams):
     assert v9 is not None
     import jax.numpy as jnp
 
-    from debigulator_tpu.ops.phase_a_pallas import build_pa_arrays
-
-    pa = build_pa_arrays(plan)
-    if pa is not None:
-        body = v3._inflate_v9_jit(
-            pa, v9, jnp.asarray(plan.stored_pos),
-            jnp.asarray(plan.stored_val),
-            plan.slots, n_seg, interpret=True,
-        )
-    else:
-        # Dense-block fallback: XLA Phase A + group-driven Phase B.
-        arrays = v3.plan_arrays_v3(plan)
-        body = v3._inflate_v9x_jit(
-            arrays, v9, plan.n_bits, plan.slots, n_seg, interpret=True,
-        )
+    body = v3._inflate_v10_jit(
+        v9, jnp.asarray(plan.stored_pos), jnp.asarray(plan.stored_val),
+        n_seg, interpret=True,
+    )
     out = np.asarray(body[: plan.out_size]).astype(np.uint8)
     return [
         out[o : o + s].tobytes()
