@@ -996,7 +996,7 @@ def resolve_groups_segmented_v10(v9, n_seg: int,
     def seg_step(tail, inp):
         seg_body, lim = inp
         init = jnp.concatenate([pad, tail, seg_body, slack], axis=0)
-        out2d = lz.resolve_groups_v10(
+        out2d = lz.resolve_groups_v11(
             init, lim, v9["gpos"], v9["gmeta"], v9["lpos"], v9["lmeta"],
             v9["lit"], seg_bytes=SEG_BYTES, interpret=interpret,
         )

@@ -1070,6 +1070,130 @@ def _group_kernel_v10(lim_ref, gpos_hbm, gmeta_hbm, lpos_hbm, lmeta_hbm,
     )
 
 
+# ---------------------------------------------------------------------------
+# v11: narrow-piece Phase B.  The host packer splits every piece (match and
+# literal run) at dst 128-byte row boundaries, so (dst & 127) + len <= 128
+# always holds: the kernel loads a 2-row source window, aligns it to the
+# dst row grid with one roll + one row select, and commits ONE masked-row
+# store — vs v10's 3-row load + 2-row store.  Everything else (group-of-8
+# issue order, SMEM staging, segment ranges) is identical to v10.
+# ---------------------------------------------------------------------------
+
+
+def _narrow_groups(src_ref, pos_s, meta_s, out_ref, lo, hi):
+    """Walk [lo, hi) slots of a staged SMEM piece list in groups of 8.
+
+    src_ref: where piece sources live (out_ref for matches, the literal
+    scratch for literal pieces).  Pieces arrive as two host-precomputed
+    words (merged._pack_piece_words): pos = dst_row<<16|rp<<8|(rp+len),
+    meta = q_row<<16|r<<8|(128-r) — the kernel does no address math
+    beyond unpacking.  Every piece has (dst&127)+len <= 128.
+    """
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def per_group(gi, _):
+        i0 = gi * V9_GROUP
+
+        @pl.when((i0 >= lo) & (i0 < hi))
+        def _grp():
+            w0s, datas = [], []
+            row = i0 >> 7  # a group of 8 never crosses an SMEM row
+            l0 = i0 & 127
+            for g in range(V9_GROUP):
+                w0 = pos_s[row, l0 + g]
+                w1 = meta_s[row, l0 + g]
+                a = src_ref[pl.ds(w1 >> 16, 2), :]
+                ar = pltpu.roll(a, -((w1 >> 8) & 127), axis=1)
+                s = jnp.where(lane1 < (w1 & 255), ar[0:1], ar[1:2])
+                w0s.append(w0)
+                datas.append(s)
+            for g in range(V9_GROUP):
+                w0 = w0s[g]
+                mask = (lane1 >= ((w0 >> 8) & 127)) & (lane1 < (w0 & 255))
+                pltpu.store(out_ref.at[pl.ds(w0 >> 16, 1), :],
+                            datas[g], mask=mask)
+
+        return 0
+
+    return per_group
+
+
+def _group_kernel_v11(lim_ref, gpos_hbm, gmeta_hbm, lpos_hbm, lmeta_hbm,
+                      lit_hbm, init_ref, out_ref, *, seg_bytes: int):
+    """One output segment, narrow pieces: literal pieces then match groups.
+
+    Same interface as _group_kernel_v10; requires the host packer's
+    row-boundary split ((dst&127)+len <= 128 for every piece).
+    """
+    del init_ref
+    m_lo = lim_ref[0]
+    m_hi = lim_ref[1]
+    l_lo = lim_ref[3]
+    l_hi = lim_ref[4]
+    lit_base = lim_ref[5]
+    ls_rows = _lit_scratch_rows(seg_bytes)
+    stage_slots = V9_STAGE_ROWS * 128
+
+    def body(gp_s, gm_s, lit_v, sem):
+        @pl.when(l_hi > l_lo)
+        def _stage_lits():
+            dd = pltpu.make_async_copy(
+                lit_hbm.at[pl.ds(lit_base, ls_rows - 1)],
+                lit_v.at[pl.ds(1, ls_rows - 1)], sem)
+            dd.start()
+            dd.wait()
+
+        def walk(pos_hbm, meta_hbm, src_ref, lo, hi):
+            def per_stage(si, _):
+                st = (lo >> 7) + si * V9_STAGE_ROWS
+                for hbm, smem in ((pos_hbm, gp_s), (meta_hbm, gm_s)):
+                    dd = pltpu.make_async_copy(
+                        hbm.at[pl.ds(st, V9_STAGE_ROWS), :], smem, sem)
+                    dd.start()
+                    dd.wait()
+                base = st * 128
+                grp = _narrow_groups(src_ref, gp_s, gm_s, out_ref,
+                                     lo - base, hi - base)
+                jax.lax.fori_loop(0, stage_slots // V9_GROUP, grp, 0)
+                return 0
+
+            n_stages = (hi - (lo & ~127) + stage_slots - 1) // stage_slots
+            jax.lax.fori_loop(0, n_stages, per_stage, 0)
+
+        walk(lpos_hbm, lmeta_hbm, lit_v, l_lo, l_hi)
+        walk(gpos_hbm, gmeta_hbm, out_ref, m_lo, m_hi)
+
+    pl.run_scoped(
+        body,
+        gp_s=pltpu.SMEM((V9_STAGE_ROWS, 128), jnp.int32),
+        gm_s=pltpu.SMEM((V9_STAGE_ROWS, 128), jnp.int32),
+        lit_v=pltpu.VMEM((_lit_scratch_rows(seg_bytes), 128), jnp.int32),
+        sem=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def resolve_groups_v11(out_init, lim, gpos, gmeta, lpos, lmeta, lit,
+                       seg_bytes: int, interpret: bool = False):
+    """Run one v11 (narrow-piece) segment resolve inside jit.  Same
+    contract as resolve_groups_v10, plus the row-split invariant."""
+    return pl.pallas_call(
+        functools.partial(_group_kernel_v11, seg_bytes=seg_bytes),
+        out_shape=jax.ShapeDtypeStruct(out_init.shape, jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={6: 0},
+        interpret=interpret,
+    )(lim, gpos, gmeta, lpos, lmeta, lit, out_init)
+
+
 def resolve_groups_v10(out_init, lim, gpos, gmeta, lpos, lmeta, lit,
                        seg_bytes: int, interpret: bool = False):
     """Run one v10 segment resolve inside jit.

@@ -208,10 +208,30 @@ def _pad_rec_rows(a: np.ndarray, stage_rows: int) -> np.ndarray:
     return out.reshape(rows, 128)
 
 
+def _pack_piece_words(dst_local, length, src_local):
+    """Precompute the v12 kernel's per-piece scalar work as two words.
+
+    w0 = dst_row<<16 | rp<<8 | (rp+len)   (store row, mask lo/hi)
+    w1 = q_row<<16 |  r<<8  | (128-r)     (load row, roll, row-select)
+    where rp = dst_local & 127 and q = src_local - rp (2-row load base on
+    the dst row grid).  Requires the row-split invariant rp+len <= 128.
+    """
+    dst_local = dst_local.astype(np.int64)
+    src_local = src_local.astype(np.int64)
+    rp = dst_local & 127
+    q = src_local - rp
+    r = q & 127
+    w0 = ((dst_local >> 7) << 16) | (rp << 8) | (rp + length)
+    w1 = ((q >> 7) << 16) | (r << 8) | (128 - r)
+    assert (q >= 0).all(), "negative load base"
+    return w0.astype(np.int32), w1.astype(np.int32)
+
+
 def build_v9_arrays(mp: MergedPlan, n_seg: int) -> dict | None:
-    """Host prep for the group-driven Phase B (v10): pack matches into
-    conflict-free groups of 8 (native dbg_pack_groups) and turn literal
-    runs into copy pieces sourced from the dense host literal array —
+    """Host prep for the group-driven Phase B (v12): pack matches into
+    conflict-free groups of 8 (native dbg_pack_groups), turn literal
+    runs into copy pieces sourced from the dense host literal array, and
+    precompute every piece's kernel scalars into two packed words —
     the kernel never needs the Phase A tape.  Returns device arrays, or
     None without native records."""
     import jax.numpy as jnp
@@ -223,20 +243,31 @@ def build_v9_arrays(mp: MergedPlan, n_seg: int) -> dict | None:
         return None
     recs = mp.recs
     SEG = v3.SEG_BYTES
+    ORIGIN = lz.PAD + lz.WINDOW  # segment body start in local coords
 
     packed = pack_groups(recs["m_pos"], recs["m_meta"], SEG, n_seg)
     if packed is None:
         return None
     g_pos, g_meta, seg_lo, seg_hi = packed
+    # Localize matches per segment and precompute kernel words.
+    slot_seg = np.repeat(
+        np.arange(n_seg, dtype=np.int64), (seg_hi - seg_lo).astype(np.int64))
+    assert len(slot_seg) == len(g_pos), "segment ranges must cover all slots"
+    m_dst_l = g_pos.astype(np.int64) - slot_seg * SEG + ORIGIN
+    m_len = (g_meta.astype(np.int64) >> 16) & 0xFFFF
+    m_src_l = m_dst_l - (g_meta.astype(np.int64) & 0xFFFF)
+    g_pos, g_meta = _pack_piece_words(m_dst_l, m_len, m_src_l)
 
     # --- literal runs -> pieces over the dense literal array --------------
-    # Piece = (dst, lit0, len); split at SEG boundaries (run len <= 64 so
-    # at most one split), then bucket per segment and pad each segment's
-    # slot range to a multiple of V9_GROUP.
+    # Piece = (dst, lit0, len); split at dst 128-byte row boundaries (run
+    # len <= 64 so at most one split; rows also cover SEG boundaries), so
+    # every piece satisfies (dst&127)+len <= 128 for the v11 narrow-piece
+    # kernel.  Then bucket per segment and pad each segment's slot range
+    # to a multiple of V9_GROUP.
     rln = (recs["r_j0len"].astype(np.int64) & 0xFF)
     dst = recs["r_pos"].astype(np.int64)
     lit0 = recs["r_lit0"].astype(np.int64)
-    boundary = (dst // SEG + 1) * SEG
+    boundary = (dst // 128 + 1) * 128
     len_a = np.minimum(rln, boundary - dst)
     len_b = rln - len_a
     p_dst = np.stack([dst, boundary], 1).reshape(-1)
@@ -256,8 +287,10 @@ def build_v9_arrays(mp: MergedPlan, n_seg: int) -> dict | None:
     starts_in = np.concatenate([[0], np.cumsum(counts)[:-1]])
     starts_out = np.concatenate([[0], np.cumsum(padded)[:-1]])
     n_slots = int(padded.sum())
-    l_pos = np.zeros(n_slots, np.int64)
-    l_meta = np.zeros(n_slots, np.int64)
+    # Padding slots get a harmless no-op piece: len 0, dst at the segment
+    # origin, load base inside the scratch pad row.
+    l_pos = np.full(n_slots, ((ORIGIN >> 7) << 16), np.int32)
+    l_meta = np.full(n_slots, (1 << 16) | 128, np.int32)
     l_lo = starts_out.astype(np.int32)
     l_hi = (starts_out + counts).astype(np.int32)
     lit_row_base = np.zeros(n_seg, np.int32)
@@ -272,17 +305,10 @@ def build_v9_arrays(mp: MergedPlan, n_seg: int) -> dict | None:
         first_lit[seg_has] = p_lit[starts_in[np.nonzero(seg_has)[0]]]
         lit_row_base = (first_lit >> 7).astype(np.int32)
         rel = p_lit - (lit_row_base.astype(np.int64)[seg_id] << 7) + 128
-        l_pos[slot] = p_dst
-        l_meta[slot] = (p_len << 20) | rel
-        assert rel.max(initial=0) < (1 << 20), "literal slice overflow"
-    # Padding slots: pos = their segment's output offset, meta 0.
-    pad_seg = np.repeat(np.arange(n_seg), padded - counts)
-    pad_slot = np.concatenate(
-        [np.arange(starts_out[s] + counts[s], starts_out[s] + padded[s])
-         for s in range(n_seg)]
-    ) if (padded - counts).any() else np.zeros(0, np.int64)
-    if len(pad_slot):
-        l_pos[pad_slot] = pad_seg * SEG
+        dst_local = p_dst - seg_id * SEG + ORIGIN
+        w0, w1 = _pack_piece_words(dst_local, p_len, rel)
+        l_pos[slot] = w0
+        l_meta[slot] = w1
 
     lims = np.zeros((n_seg, 8), np.int32)
     lims[:, 0] = seg_lo

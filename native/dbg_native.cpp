@@ -568,9 +568,12 @@ struct PieceSrc {
       len = piece_dist < remaining ? piece_dist : remaining;
       if (len > kPieceMax) len = kPieceMax;
     }
-    // split at the segment boundary on the dst side
-    int64_t seg_end = (dst / seg_bytes + 1) * seg_bytes;
-    if (dst + len > seg_end) len = seg_end - dst;
+    // split at the dst 128-byte row boundary (which also covers the
+    // segment boundary): every piece then satisfies (dst&127)+len <= 128,
+    // so the kernel's store is a single masked row and its load a 2-row
+    // window (v11 narrow-piece path).
+    int64_t row_end = (dst / 128 + 1) * 128;
+    if (dst + len > row_end) len = row_end - dst;
     *p_dst = dst;
     *p_src = dst - piece_dist;
     *p_len = len;

@@ -82,20 +82,9 @@ def main():
         sp = jnp.asarray(plan.stored_pos)
         sv = jnp.asarray(plan.stored_val)
 
-        pa_jit = jax.jit(
-            functools.partial(phase_a_pallas, slots=slots, interpret=False)
-        )
-        t_pa = bench_fn(lambda: pa_jit(pa))
-
-        tape, _ = pa_jit(pa)
-        tape = jax.block_until_ready(tape)
-
-        pb_jit = jax.jit(
-            functools.partial(
-                v3.resolve_groups_segmented_v9, n_seg=n_seg, interpret=False
-            )
-        )
-        t_pb = bench_fn(lambda: pb_jit(tape, v9, stored_pos=sp, stored_val=sv))
+        t0 = time.time()
+        v9b = build_v9_arrays(mp, n_seg)
+        t_v9 = (time.time() - t0) * 1e3
 
         run = prepare_merged(mp)
         t_full = bench_fn(run)
@@ -103,9 +92,8 @@ def main():
         out_mb = plan.out_size / 1e6
         print(
             f"K={K:3d} out={out_mb:7.2f} MB  host_scan={t_scan:7.1f} ms  "
-            f"phaseA={t_pa:7.2f} ms  phaseB={t_pb:7.2f} ms  "
-            f"full={t_full:7.2f} ms  -> {out_mb / t_full:6.3f} GB/s "
-            f"(A+B={out_mb / (t_pa + t_pb):6.3f})"
+            f"v9_prep={t_v9:7.1f} ms  "
+            f"full={t_full:7.2f} ms  -> {out_mb / t_full:6.3f} GB/s"
         )
 
 
