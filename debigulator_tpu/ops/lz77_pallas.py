@@ -1134,7 +1134,7 @@ def _group_kernel_v11(lim_ref, gpos_hbm, gmeta_hbm, lpos_hbm, lmeta_hbm,
     ls_rows = _lit_scratch_rows(seg_bytes)
     stage_slots = V9_STAGE_ROWS * 128
 
-    def body(gp_s, gm_s, lit_v, sem):
+    def body(gp_s, gm_s, lit_v, sems, sem):
         @pl.when(l_hi > l_lo)
         def _stage_lits():
             dd = pltpu.make_async_copy(
@@ -1144,30 +1144,79 @@ def _group_kernel_v11(lim_ref, gpos_hbm, gmeta_hbm, lpos_hbm, lmeta_hbm,
             dd.wait()
 
         def walk(pos_hbm, meta_hbm, src_ref, lo, hi):
-            def per_stage(si, _):
+            """Double-buffered stage walk: the next stage's piece words DMA
+            into the other SMEM buffer while this stage's groups run.  The
+            HBM arrays carry one slack stage, so the one-past-the-end
+            prefetch always stays in bounds."""
+            n_stages = (hi - (lo & ~127) + stage_slots - 1) // stage_slots
+
+            def dma(si, b):
                 st = (lo >> 7) + si * V9_STAGE_ROWS
-                for hbm, smem in ((pos_hbm, gp_s), (meta_hbm, gm_s)):
-                    dd = pltpu.make_async_copy(
-                        hbm.at[pl.ds(st, V9_STAGE_ROWS), :], smem, sem)
-                    dd.start()
-                    dd.wait()
-                base = st * 128
-                grp = _narrow_groups(src_ref, gp_s, gm_s, out_ref,
-                                     lo - base, hi - base)
-                jax.lax.fori_loop(0, stage_slots // V9_GROUP, grp, 0)
+                c1 = pltpu.make_async_copy(
+                    pos_hbm.at[pl.ds(st, V9_STAGE_ROWS), :],
+                    gp_s.at[b], sems.at[b, 0])
+                c2 = pltpu.make_async_copy(
+                    meta_hbm.at[pl.ds(st, V9_STAGE_ROWS), :],
+                    gm_s.at[b], sems.at[b, 1])
+                return c1, c2
+
+            @pl.when(n_stages > 0)
+            def _prologue():
+                c1, c2 = dma(0, 0)
+                c1.start()
+                c2.start()
+
+            def per_stage(si, _):
+                def run_buf(b):
+                    c1, c2 = dma(si, b)
+                    c1.wait()
+                    c2.wait()
+                    n1, n2 = dma(si + 1, 1 - b)
+                    n1.start()
+                    n2.start()
+                    st = (lo >> 7) + si * V9_STAGE_ROWS
+                    base = st * 128
+                    grp = _narrow_groups(src_ref, gp_s.at[b], gm_s.at[b],
+                                         out_ref, lo - base, hi - base)
+                    jax.lax.fori_loop(0, stage_slots // V9_GROUP, grp, 0)
+
+                @pl.when(si % 2 == 0)
+                def _even():
+                    run_buf(0)
+
+                @pl.when(si % 2 == 1)
+                def _odd():
+                    run_buf(1)
+
                 return 0
 
-            n_stages = (hi - (lo & ~127) + stage_slots - 1) // stage_slots
             jax.lax.fori_loop(0, n_stages, per_stage, 0)
+            # Drain the one-past-the-end prefetch so the semaphores are
+            # clean for the next walk.
+            @pl.when(n_stages > 0)
+            def _drain():
+                def drain_buf(b):
+                    c1, c2 = dma(n_stages, b)
+                    c1.wait()
+                    c2.wait()
+
+                @pl.when(n_stages % 2 == 0)
+                def _e():
+                    drain_buf(0)
+
+                @pl.when(n_stages % 2 == 1)
+                def _o():
+                    drain_buf(1)
 
         walk(lpos_hbm, lmeta_hbm, lit_v, l_lo, l_hi)
         walk(gpos_hbm, gmeta_hbm, out_ref, m_lo, m_hi)
 
     pl.run_scoped(
         body,
-        gp_s=pltpu.SMEM((V9_STAGE_ROWS, 128), jnp.int32),
-        gm_s=pltpu.SMEM((V9_STAGE_ROWS, 128), jnp.int32),
+        gp_s=pltpu.SMEM((2, V9_STAGE_ROWS, 128), jnp.int32),
+        gm_s=pltpu.SMEM((2, V9_STAGE_ROWS, 128), jnp.int32),
         lit_v=pltpu.VMEM((_lit_scratch_rows(seg_bytes), 128), jnp.int32),
+        sems=pltpu.SemaphoreType.DMA((2, 2)),
         sem=pltpu.SemaphoreType.DMA(()),
     )
 

@@ -198,11 +198,12 @@ def build_merged_plan(streams: list[bytes]) -> MergedPlan:
 
 def _pad_rec_rows(a: np.ndarray, stage_rows: int) -> np.ndarray:
     """Reshape a flat record array to (rows, 128), rows padded to a stage
-    multiple plus one slack stage (kernel DMA windows run past the live
-    range; padded entries are masked off by index-range checks)."""
+    multiple plus two slack stages (kernel DMA windows run past the live
+    range, and the double-buffered walk prefetches one stage further;
+    padded entries are masked off by index-range checks)."""
     n = len(a)
     rows = -(-max(n, 1) // 128)
-    rows = -(-rows // stage_rows) * stage_rows + stage_rows
+    rows = -(-rows // stage_rows) * stage_rows + 2 * stage_rows
     out = np.zeros(rows * 128, a.dtype if a.dtype == np.int32 else np.int32)
     out[:n] = a
     return out.reshape(rows, 128)

@@ -1,8 +1,9 @@
-"""Microbenchmark Phase B kernel primitives on the real chip.
+"""Microbenchmark Phase B kernel primitives on the real chip (v12 format).
 
-Times variants of the v9 group copy loop over synthetic piece lists to
-attribute the measured ~25 cycles/piece: full (load+roll+mask+store),
-no-roll, store-only, load-only, and a 2-row-window merged-store variant.
+Times variants of the narrow-piece group loop over synthetic piece lists
+to attribute the measured ~16 ns/piece: full (2-row load + roll + select
++ masked-row store), load_only, store_only, scalar_only (SMEM reads +
+unpack, no memory traffic), and unroll2 (two groups per fori body).
 """
 
 from __future__ import annotations
@@ -21,83 +22,93 @@ import jax.numpy as jnp  # noqa: E402
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
-from debigulator_tpu.ops import lz77_pallas as lz  # noqa: E402
-
 N_PIECES = 1 << 21  # 2M pieces
 ROWS = 4096 + 8  # ~2 MB int32 buffer
 GROUP = 8
+STAGE_ROWS = 16
 
 
-def _kernel(gpos_hbm, gmeta_hbm, init_ref, out_ref, *, variant: str):
+def _kernel(w0_hbm, w1_hbm, init_ref, out_ref, *, variant: str):
     del init_ref
-    flat2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0) * 128 + \
-        jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
-    def body(gp_s, gm_s, sem):
+    def body(w0_s, w1_s, acc_s, sem):
+        def per_group(w0_s, w1_s, i0):
+            if variant == "noop":
+                return
+            if variant == "scalar_smem":
+                row = i0 >> 7
+                l0 = i0 & 127
+                t = 0
+                for g in range(GROUP):
+                    t = t + w0_s[row, l0 + g] + w1_s[row, l0 + g]
+                acc_s[0] = t
+                return
+            row = i0 >> 7
+            l0 = i0 & 127
+            w0s, datas = [], []
+            acc = jnp.zeros((1, 128), jnp.int32)
+            for g in range(GROUP):
+                w0 = w0_s[row, l0 + g]
+                w1 = w1_s[row, l0 + g]
+                if variant == "scalar_only":
+                    acc = acc + (w0 + w1)
+                    continue
+                if variant == "store_only":
+                    s = acc
+                else:
+                    a = out_ref[pl.ds(w1 >> 16, 2), :]
+                    ar = pltpu.roll(a, -((w1 >> 8) & 127), axis=1)
+                    s = jnp.where(lane1 < (w1 & 255), ar[0:1], ar[1:2])
+                w0s.append(w0)
+                datas.append(s)
+            if variant == "scalar_only":
+                out_ref[pl.ds(8, 1), :] = acc
+                return
+            if variant == "load_only":
+                for g in range(GROUP):
+                    acc = acc + datas[g]
+                out_ref[pl.ds(8, 1), :] = acc
+                return
+            for g in range(GROUP):
+                w0 = w0s[g]
+                mask = (lane1 >= ((w0 >> 8) & 127)) & (lane1 < (w0 & 255))
+                pltpu.store(out_ref.at[pl.ds(w0 >> 16, 1), :],
+                            datas[g], mask=mask)
+
         def per_stage(si, _):
-            st = si * 16
-            for hbm, smem in ((gpos_hbm, gp_s), (gmeta_hbm, gm_s)):
+            st = si * STAGE_ROWS
+            for hbm, smem in ((w0_hbm, w0_s), (w1_hbm, w1_s)):
                 dd = pltpu.make_async_copy(
-                    hbm.at[pl.ds(st, 16), :], smem, sem)
+                    hbm.at[pl.ds(st, STAGE_ROWS), :], smem, sem)
                 dd.start()
                 dd.wait()
 
-            def per_group(gi, _):
-                i0 = gi * GROUP
-                dsts, lens, datas = [], [], []
-                for g in range(GROUP):
-                    t = i0 + g
-                    meta = gm_s[t >> 7, t & 127]
-                    dst = gp_s[t >> 7, t & 127]
-                    src = dst - (meta & 0xFFFF)
-                    dsts.append(dst)
-                    lens.append(meta >> 16)
-                    if variant == "store_only":
-                        datas.append(jnp.full((3, 128), 7, jnp.int32))
-                    elif variant == "no_roll":
-                        a = out_ref[pl.ds((src - (dst & 127)) >> 7, 3), :]
-                        datas.append(a)
-                    else:
-                        datas.append(
-                            lz._load_span_n(out_ref, src - (dst & 127), 3)
-                        )
-                if variant == "load_only":
-                    acc = jnp.zeros((2, 128), jnp.int32)
-                    for g in range(GROUP):
-                        acc = acc + datas[g][:2]
-                    out_ref[pl.ds(8, 2), :] = acc
-                elif variant == "merge":
-                    # All 8 pieces share one 2-row dst window: merge in
-                    # registers, single store.
-                    acc = out_ref[pl.ds(dsts[0] >> 7, 2), :]
-                    for g in range(GROUP):
-                        rp = dsts[g] & 127
-                        mask = (flat2 >= rp) & (flat2 < rp + lens[g])
-                        acc = jnp.where(mask, datas[g][:2], acc)
-                    out_ref[pl.ds(dsts[0] >> 7, 2), :] = acc
-                else:
-                    for g in range(GROUP):
-                        rp = dsts[g] & 127
-                        mask = (flat2 >= rp) & (flat2 < rp + lens[g])
-                        pltpu.store(
-                            out_ref.at[pl.ds(dsts[g] >> 7, 2), :],
-                            datas[g][:2], mask=mask)
-                return 0
-
-            jax.lax.fori_loop(0, 16 * 128 // GROUP, per_group, 0)
+            if variant == "unroll2":
+                def grp2(gi, _):
+                    per_group(w0_s, w1_s, gi * 2 * GROUP)
+                    per_group(w0_s, w1_s, gi * 2 * GROUP + GROUP)
+                    return 0
+                jax.lax.fori_loop(0, STAGE_ROWS * 128 // GROUP // 2, grp2, 0)
+            else:
+                def grp(gi, _):
+                    per_group(w0_s, w1_s, gi * GROUP)
+                    return 0
+                jax.lax.fori_loop(0, STAGE_ROWS * 128 // GROUP, grp, 0)
             return 0
 
-        jax.lax.fori_loop(0, N_PIECES // (16 * 128), per_stage, 0)
+        jax.lax.fori_loop(0, N_PIECES // (STAGE_ROWS * 128), per_stage, 0)
 
     pl.run_scoped(
         body,
-        gp_s=pltpu.SMEM((16, 128), jnp.int32),
-        gm_s=pltpu.SMEM((16, 128), jnp.int32),
+        w0_s=pltpu.SMEM((STAGE_ROWS, 128), jnp.int32),
+        w1_s=pltpu.SMEM((STAGE_ROWS, 128), jnp.int32),
+        acc_s=pltpu.SMEM((1,), jnp.int32),
         sem=pltpu.SemaphoreType.DMA(()),
     )
 
 
-def run_variant(variant, gpos, gmeta, init):
+def run_variant(variant, w0, w1, init):
     f = pl.pallas_call(
         functools.partial(_kernel, variant=variant),
         out_shape=jax.ShapeDtypeStruct((ROWS, 128), jnp.int32),
@@ -115,11 +126,11 @@ def run_variant(variant, gpos, gmeta, init):
     def sync(r):
         return np.asarray(probe(r))
 
-    sync(jf(gpos, gmeta, init))
+    sync(jf(w0, w1, init))
     reps = 5
     t0 = time.time()
     for _ in range(reps):
-        sync(jf(gpos, gmeta, init))
+        sync(jf(w0, w1, init))
     dt = (time.time() - t0) / reps
     ns = dt * 1e9 / N_PIECES
     print(f"{variant:12s}: {dt*1e3:7.2f} ms  {ns:6.1f} ns/piece "
@@ -128,22 +139,23 @@ def run_variant(variant, gpos, gmeta, init):
 
 def main():
     rng = np.random.default_rng(0)
-    # Synthetic pieces: dst walks the buffer, src = dst - dist with
-    # dist in [384, 4096) (clean/far), len in [4, 24).
-    i = np.arange(N_PIECES)
-    dst = 1024 + (i * 16) % (ROWS * 128 - 4096 - 2048)
-    # keep groups of 8 within one 2-row window for the merge variant:
-    g = i // GROUP
-    dst_m = 1024 + (g * 256) % (ROWS * 128 - 4096 - 2048) + (i % GROUP) * 16
+    # Synthetic v12 pieces: dst walks the buffer, src = dst - dist with
+    # dist in [384, 4096), len in [4, 24), row-split like the real packer.
+    i = np.arange(N_PIECES, dtype=np.int64)
+    dst = 1024 + (i * 16) % (ROWS * 128 - 8192 - 2048)
     dist = rng.integers(384, 4096, N_PIECES)
-    ln = rng.integers(4, 24, N_PIECES)
-    meta = (ln.astype(np.int64) << 16) | dist
-    gpos = jnp.asarray(dst_m.reshape(-1, 128).astype(np.int32))
-    gmeta = jnp.asarray(meta.reshape(-1, 128).astype(np.int32))
+    ln = np.minimum(rng.integers(4, 24, N_PIECES), 128 - (dst & 127))
+    rp = dst & 127
+    q = dst - dist - rp
+    r = q & 127
+    w0 = ((dst >> 7) << 16) | (rp << 8) | (rp + ln)
+    w1 = ((q >> 7) << 16) | (r << 8) | (128 - r)
+    w0 = jnp.asarray(w0.reshape(-1, 128).astype(np.int32))
+    w1 = jnp.asarray(w1.reshape(-1, 128).astype(np.int32))
     init = jnp.zeros((ROWS, 128), jnp.int32)
 
-    for v in ("full", "no_roll", "store_only", "load_only", "merge"):
-        run_variant(v, gpos, gmeta, init)
+    for v in ("full", "scalar_only", "scalar_smem", "noop"):
+        run_variant(v, w0, w1, init)
 
 
 if __name__ == "__main__":
