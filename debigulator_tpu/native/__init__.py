@@ -87,6 +87,12 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.dbg_taint.restype = ctypes.c_int64
+    lib.dbg_taint.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
     lib.dbg_crc32.restype = ctypes.c_uint32
     lib.dbg_crc32.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32]
     lib.dbg_adler32.restype = ctypes.c_uint32

@@ -270,6 +270,36 @@ def pack_groups(m_pos: np.ndarray, m_meta: np.ndarray,
         max_slots *= 4
 
 
+def taint_matches(m_pos: np.ndarray, m_meta: np.ndarray, out_size: int,
+                  shard_bytes: int, window: int = 32768):
+    """Exact sequence-parallel taint analysis (dbg_taint, SURVEY §5.7).
+
+    Returns (m_taint, tail_taint) — per-match "writes a byte that derives
+    from its shard's incoming window" flags and per-shard "taint reaches
+    the outgoing 32 KiB tail" flags — or None without the native library.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(m_pos)
+    n_shards = max(1, -(-out_size // shard_bytes))
+    m_pos = np.ascontiguousarray(m_pos, np.int32)
+    m_meta = np.ascontiguousarray(m_meta, np.int32)
+    taint_buf = np.zeros(max(out_size, 1), np.uint8)
+    m_taint = np.zeros(max(n, 1), np.uint8)
+    tail_taint = np.zeros(n_shards, np.uint8)
+    lib.dbg_taint(
+        m_pos.ctypes.data_as(ctypes.c_void_p),
+        m_meta.ctypes.data_as(ctypes.c_void_p),
+        n, out_size, shard_bytes, window,
+        taint_buf.ctypes.data_as(ctypes.c_void_p),
+        m_taint.ctypes.data_as(ctypes.c_void_p),
+        tail_taint.ctypes.data_as(ctypes.c_void_p),
+        n_shards,
+    )
+    return m_taint[:n], tail_taint
+
+
 def inflate_native(data: bytes):
     """Full serial native inflate → (bytes, blocks)."""
     nb, blocks, _, out_buf, out_size, _ = _scan_raw(data, produce_output=True)

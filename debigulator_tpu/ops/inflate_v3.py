@@ -972,22 +972,34 @@ def resolve_tape_segmented_v6(tape, counts, bob_cell, n_seg: int,
 
 def resolve_groups_segmented_v10(v9, n_seg: int,
                                  stored_pos, stored_val,
-                                 interpret: bool = False):
-    """Phase B v10: fully host-fed — matches come as conflict-free groups
-    of 8 (native dbg_pack_groups) and literal runs as copy pieces over the
-    dense host literal array, so the kernel needs no Phase A tape and the
-    only XLA scatter left is the (tiny) stored-block byte placement.  Each
-    segment is one Pallas kernel call inside a lax.scan carrying the
-    32 KiB window tail."""
+                                 interpret: bool = False,
+                                 tail0=None, body_init=None,
+                                 seg_bytes: int | None = None):
+    """Phase B v10/v12: fully host-fed — matches come as conflict-free
+    groups of 8 (native dbg_pack_groups) and literal runs as copy pieces
+    over the dense host literal array, so the kernel needs no Phase A tape
+    and the only XLA scatter left is the (tiny) stored-block byte
+    placement.  Each segment is one Pallas kernel call inside a lax.scan
+    carrying the 32 KiB window tail.
+
+    tail0: optional (WINDOW//128, 128) int32 incoming window (sequence-
+    parallel shards receive the previous shard's tail here; defaults to
+    zeros).  body_init: optional (n_seg*SEG_BYTES,) int32 initial output
+    (patch rounds replay tainted pieces over the phase-1 output)."""
     from debigulator_tpu.ops import lz77_pallas as lz
 
-    total = n_seg * SEG_BYTES
-    out_flat = jnp.zeros(total, jnp.int32)
+    if seg_bytes is None:
+        seg_bytes = SEG_BYTES
+    total = n_seg * seg_bytes
+    if body_init is None:
+        out_flat = jnp.zeros(total, jnp.int32)
+    else:
+        out_flat = body_init.reshape(total)
     if stored_val.shape[0]:
         out_flat = out_flat.at[stored_pos].set(
             stored_val.astype(jnp.int32), mode="drop"
         )
-    body_seg = out_flat.reshape(n_seg, SEG_BYTES // 128, 128)
+    body_seg = out_flat.reshape(n_seg, seg_bytes // 128, 128)
 
     win_rows = lz.WINDOW // 128
     pad = jnp.zeros((lz.PAD // 128, 128), jnp.int32)
@@ -998,13 +1010,14 @@ def resolve_groups_segmented_v10(v9, n_seg: int,
         init = jnp.concatenate([pad, tail, seg_body, slack], axis=0)
         out2d = lz.resolve_groups_v11(
             init, lim, v9["gpos"], v9["gmeta"], v9["lpos"], v9["lmeta"],
-            v9["lit"], seg_bytes=SEG_BYTES, interpret=interpret,
+            v9["lit"], seg_bytes=seg_bytes, interpret=interpret,
         )
         body = out2d[lz.PAD // 128 + win_rows : -4]
         new_tail = out2d[-4 - win_rows : -4]
         return new_tail, body
 
-    tail0 = jnp.zeros((win_rows, 128), jnp.int32)
+    if tail0 is None:
+        tail0 = jnp.zeros((win_rows, 128), jnp.int32)
     _, outs = jax.lax.scan(seg_step, tail0, (body_seg, v9["lims"]))
     return outs.reshape(-1)
 

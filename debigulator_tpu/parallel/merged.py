@@ -229,21 +229,27 @@ def _pack_piece_words(dst_local, length, src_local):
 
 
 def build_v9_arrays(mp: MergedPlan, n_seg: int) -> dict | None:
+    """Host prep for the group-driven Phase B (v12) from a merged plan's
+    records; see build_piece_arrays."""
+    if mp.recs is None:
+        return None
+    return build_piece_arrays(mp.recs, n_seg)
+
+
+def build_piece_arrays(recs: dict, n_seg: int,
+                       seg_bytes: int | None = None) -> dict | None:
     """Host prep for the group-driven Phase B (v12): pack matches into
     conflict-free groups of 8 (native dbg_pack_groups), turn literal
     runs into copy pieces sourced from the dense host literal array, and
     precompute every piece's kernel scalars into two packed words —
     the kernel never needs the Phase A tape.  Returns device arrays, or
-    None without native records."""
+    None without the native packer."""
     import jax.numpy as jnp
 
     from debigulator_tpu.native.scanner import pack_groups
     from debigulator_tpu.ops import lz77_pallas as lz
 
-    if mp.recs is None:
-        return None
-    recs = mp.recs
-    SEG = v3.SEG_BYTES
+    SEG = seg_bytes if seg_bytes is not None else v3.SEG_BYTES
     ORIGIN = lz.PAD + lz.WINDOW  # segment body start in local coords
 
     packed = pack_groups(recs["m_pos"], recs["m_meta"], SEG, n_seg)

@@ -757,6 +757,57 @@ uint32_t dbg_crc32(const uint8_t* data, uint64_t n, uint32_t crc) {
   return c ^ 0xFFFFFFFFu;
 }
 
+// ---------------------------------------------------------------------------
+// Sequence-parallel taint analysis (SURVEY §5.7).  The output range
+// [0, out_size) is split into shards of shard_bytes; shard s's decode
+// depends on shard s-1's final tail (the ≤32 KiB DEFLATE window).  This
+// pass computes, exactly, which bytes/matches are *tainted* — i.e. derive
+// (transitively, through LZ77 copies) from their shard's incoming window
+// — so the device can resolve all shards in parallel with zero windows
+// and then replay only the tainted matches after a ring tail exchange.
+//
+// m_pos/m_meta: match records in stream (dst) order — dst and
+// len<<16|dist, exactly the scanner's output.  Literal bytes are never
+// tainted.  Outputs: m_taint[i] = 1 if match i writes any tainted byte;
+// tail_taint[s] = 1 if shard s's last `window` bytes contain taint.
+// Returns the number of tainted matches.
+// ---------------------------------------------------------------------------
+int64_t dbg_taint(const int32_t* m_pos, const int32_t* m_meta, int64_t n,
+                  int64_t out_size, int64_t shard_bytes, int64_t window,
+                  uint8_t* taint_buf /* out_size scratch, zeroed here */,
+                  uint8_t* m_taint, uint8_t* tail_taint, int64_t n_shards) {
+  memset(taint_buf, 0, (size_t)out_size);
+  memset(tail_taint, 0, (size_t)n_shards);
+  int64_t n_tainted = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t dst = m_pos[i];
+    int64_t len = (m_meta[i] >> 16) & 0xFFFF;
+    int64_t dist = m_meta[i] & 0xFFFF;
+    int64_t shard_start = (dst / shard_bytes) * shard_bytes;
+    uint8_t any = 0;
+    for (int64_t k = 0; k < len; k++) {
+      int64_t d = dst + k;
+      int64_t s = d - dist;
+      // A dst that crosses into the next shard re-bases its window.
+      int64_t ss = (d / shard_bytes) * shard_bytes;
+      uint8_t t = (s < ss) ? (uint8_t)1 : taint_buf[s];
+      taint_buf[d] = t;
+      any |= t;
+    }
+    (void)shard_start;
+    if (any) { m_taint[i] = 1; n_tainted++; } else { m_taint[i] = 0; }
+  }
+  for (int64_t s = 0; s < n_shards; s++) {
+    int64_t end = (s + 1) * shard_bytes;
+    if (end > out_size) end = out_size;
+    int64_t lo = end - window;
+    if (lo < s * shard_bytes) lo = s * shard_bytes;
+    for (int64_t p = lo; p < end; p++)
+      if (taint_buf[p]) { tail_taint[s] = 1; break; }
+  }
+  return n_tainted;
+}
+
 uint32_t dbg_adler32(const uint8_t* data, uint64_t n, uint32_t adler) {
   uint32_t s1 = adler & 0xFFFF, s2 = adler >> 16;
   while (n) {
