@@ -29,18 +29,23 @@ def decode_gzip_device(data, verify: bool = True) -> bytes:
     n = len(data)
     if n == 0:
         raise GzipError("empty input is not a gzip stream")
-    from debigulator_tpu.ops.scanner import scan_stream
+    from debigulator_tpu.ops.inflate_v3 import CELL_BITS
+    from debigulator_tpu.ops.scanner import scan_stream_cells
 
     out_parts = []
     at = 0
     while at < n:
         p, hdr = _parse_header(data, at)
         payload = bytes(data[p:])
-        blocks, lengths = scan_stream(payload)
+        # ONE host scan per member: the same pass that finds the member's
+        # end also records code lengths + exact cell entries for the
+        # device plan (no rescan inside inflate_device).
+        scanned = scan_stream_cells(payload, CELL_BITS)
+        blocks = scanned[0]
         end = p + (blocks[-1].end_bit + 7) // 8
         if end + 8 > n:
             raise GzipError("truncated gzip footer")
-        out = inflate_device(payload[: end - p])
+        out = inflate_device(payload[: end - p], scanned=scanned)
         crc, isize = struct.unpack_from("<II", data, end)
         if verify:
             if len(out) & 0xFFFFFFFF != isize:

@@ -271,18 +271,24 @@ def pack_groups(m_pos: np.ndarray, m_meta: np.ndarray,
 
 
 def taint_matches(m_pos: np.ndarray, m_meta: np.ndarray, out_size: int,
-                  shard_bytes: int, window: int = 32768):
+                  shard_bytes: int, window: int = 32768,
+                  n_shards: int | None = None):
     """Exact sequence-parallel taint analysis (dbg_taint, SURVEY §5.7).
 
     Returns (m_taint, tail_taint) — per-match "writes a byte that derives
     from its shard's incoming window" flags and per-shard "taint reaches
     the outgoing 32 KiB tail" flags — or None without the native library.
+
+    n_shards: size tail_taint for the caller's shard count even when
+    shard_bytes rounding leaves trailing shards with no output (the C
+    loop clamps each shard's range to out_size, so extras stay 0).
     """
     lib = get_lib()
     if lib is None:
         return None
     n = len(m_pos)
-    n_shards = max(1, -(-out_size // shard_bytes))
+    if n_shards is None:
+        n_shards = max(1, -(-out_size // shard_bytes))
     m_pos = np.ascontiguousarray(m_pos, np.int32)
     m_meta = np.ascontiguousarray(m_meta, np.int32)
     taint_buf = np.zeros(max(out_size, 1), np.uint8)

@@ -1117,11 +1117,20 @@ def _use_pallas() -> bool:
 
 
 def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS,
-                      force_pallas: bool | None = None) -> bytes:
-    """Full v3 device inflate of one raw DEFLATE stream."""
+                      force_pallas: bool | None = None,
+                      scanned=None) -> bytes:
+    """Full v3 device inflate of one raw DEFLATE stream.
+
+    scanned: optional pre-computed (blocks, lengths, cells) from
+    scan_stream_cells so container codecs that already indexed the stream
+    (e.g. to find a gzip member's end) don't pay a second host scan.
+    """
     from debigulator_tpu.ops.scanner import scan_stream_cells
 
-    blocks, lengths, cells = scan_stream_cells(data, CELL_BITS)
+    if scanned is not None:
+        blocks, lengths, cells = scanned
+    else:
+        blocks, lengths, cells = scan_stream_cells(data, CELL_BITS)
     plan = build_plan_v3(data, blocks, lengths, slots=slots, cells=cells)
     if plan.first_state == TERMINAL:  # stored-only stream
         out = np.zeros(plan.out_size, np.uint8)

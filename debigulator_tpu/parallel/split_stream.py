@@ -109,7 +109,8 @@ def plan_split_stream(stream: bytes, n_shards: int,
     m_meta_s = ((ml << 16) | md).astype(np.int32)
     m_pos_s = mp_.astype(np.int32)
 
-    t = taint_matches(m_pos_s, m_meta_s, out_size, shard_bytes, WINDOW)
+    t = taint_matches(m_pos_s, m_meta_s, out_size, shard_bytes, WINDOW,
+                      n_shards=n_shards)
     if t is None:
         raise RuntimeError("split-stream decode requires the native library")
     m_taint, tail_taint = t

@@ -68,9 +68,9 @@ struct Table {
   int32_t first[kMaxBits + 1];   // smallest MSB-first code per length
   int32_t base[kMaxBits + 1];    // offset into syms
   int16_t syms[288];
-  // Fast path: direct 10-bit lookup (sym | len<<9), -1 if longer code.
-  int16_t fast_sym[1 << 10];
-  int8_t fast_len[1 << 10];
+  // Fast path: direct 10-bit lookup, one packed load: len<<9 | sym,
+  // 0 if the code is longer than 10 bits (len 0 never occurs for a match).
+  uint16_t fast[1 << 10];
   int ok;
 };
 
@@ -105,15 +105,13 @@ void build_table(const int32_t* lengths, int n, Table* t) {
     if (lengths[s]) t->syms[idx[lengths[s]]++] = (int16_t)s;
   // Fast direct table over the low 10 reversed bits.
   for (int w = 0; w < (1 << 10); w++) {
-    t->fast_sym[w] = -1;
-    t->fast_len[w] = 0;
+    t->fast[w] = 0;
     uint32_t rev = rev_bits((uint32_t)w, 10);  // MSB-first 10-bit code prefix
     for (int l = 1; l <= 10; l++) {
       int32_t c = rev >> (10 - l);
       int32_t off = c - t->first[l];
       if (off >= 0 && off < t->count[l]) {
-        t->fast_sym[w] = t->syms[t->base[l] + off];
-        t->fast_len[w] = (int8_t)l;
+        t->fast[w] = (uint16_t)((l << 9) | t->syms[t->base[l] + off]);
         break;
       }
     }
@@ -122,8 +120,8 @@ void build_table(const int32_t* lengths, int n, Table* t) {
 
 int decode_sym(BitReader& br, const Table& t) {
   uint32_t w15 = br.peek15();
-  int16_t s = t.fast_sym[w15 & 0x3FF];
-  if (s >= 0) { br.bitpos += t.fast_len[w15 & 0x3FF]; return s; }
+  uint32_t e = t.fast[w15 & 0x3FF];
+  if (e) { br.bitpos += e >> 9; return (int)(e & 0x1FF); }
   uint32_t rev = rev_bits(w15, 15);
   for (int l = 11; l <= kMaxBits; l++) {
     int32_t c = rev >> (kMaxBits - l);
@@ -304,8 +302,16 @@ static int64_t scan_impl(const uint8_t* data, uint64_t size,
   };
 
   // Record the state at a code start: fill any newly entered cells.
+  // `rec_boundary` is the absolute bit position where the next unfilled
+  // cell begins in the CURRENT block; the common case (code starts inside
+  // an already-recorded cell) is a single compare — no division.
+  uint64_t rec_boundary = 0;
+  uint64_t rec_block_ds = 0;  // current block's data_start_bit
   auto record = [&](uint64_t block_data_start, int mode, int32_t pending) -> int {
     if (!cells) return 0;
+    if (br.bitpos < rec_boundary && block_data_start == rec_block_ds)
+      return 0;
+    rec_block_ds = block_data_start;
     uint64_t voff = br.bitpos - block_data_start;
     int64_t vcell = cell_base + (int64_t)(voff / (uint64_t)cell_bits);
     if (vcell >= max_cells) return -4;
@@ -321,6 +327,9 @@ static int64_t scan_impl(const uint8_t* data, uint64_t size,
       cell_pend[cell_filled] = pending;
       cell_filled++;
     }
+    // Next unfilled cell starts at local bit (cell_filled-cell_base)*cell_bits.
+    rec_boundary =
+        block_data_start + (uint64_t)((cell_filled - cell_base) * cell_bits);
     return 0;
   };
   for (;;) {

@@ -73,26 +73,71 @@ def test_stored_streams_decode_under_reference():
     _check(deflate_stored(data), data)
 
 
-def test_size_beats_stb_on_corpus_like_data(corpus_dir):
-    """stb (fixed-Huffman, quality 8) measured sizes from BASELINE.md; our
-    encoder must not exceed them on the same PNG-filtered inputs.
+STB_SIZE_SRC = pathlib.Path(__file__).parent / "ref_oracle" / "stb_size.c"
+_STB_BIN = pathlib.Path(tempfile.gettempdir()) / "dbg_stb_size"
 
-    We reproduce the comparison on font.png whose stb result is published:
-    42,719 B original → 41,221 B stb re-encode.  Our full PNG encoder on
-    the same RGBA must be ≤ stb's size.
-    """
+
+def _stb_harness():
+    """Compile the reference's vendored encoder (stb_write.h:895/:1128) as
+    a per-input size oracle — no hardcoded size constants."""
+    if not REF_SRC.is_dir():
+        pytest.skip("reference sources unavailable")
+    if not _STB_BIN.exists() or (
+        _STB_BIN.stat().st_mtime < STB_SIZE_SRC.stat().st_mtime
+    ):
+        r = subprocess.run(
+            ["gcc", "-O2", "-std=c99", "-I", str(REF_SRC),
+             "-o", str(_STB_BIN), str(STB_SIZE_SRC), "-lm"],
+            capture_output=True,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"stb harness build failed: {r.stderr[:300]}")
+    return _STB_BIN
+
+
+def _stb_png_size(rgba) -> int:
+    binp = _stb_harness()
+    h, w = rgba.shape[:2]
+    with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+        f.write(np.ascontiguousarray(rgba).tobytes())
+        f.flush()
+        r = subprocess.run(
+            [str(binp), "png", f.name, str(w), str(h)],
+            capture_output=True, text=True,
+        )
+    assert r.returncode == 0, f"stb oracle failed: {r.stderr[:200]}"
+    return int(r.stdout.strip())
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["structuredart1.png", "structuredart2.png", "structuredart3.png",
+     "extraturns.png", "immunetomustsurvive.png"],
+)
+def test_size_beats_stb_per_input(corpus_dir, name):
+    """Per-input gate vs the COMPILED reference encoder: our PNG encode of
+    the same RGBA must round-trip bit-exact and be <= stb's size."""
     from debigulator_tpu.models import png_codec
 
-    data = (corpus_dir / "font.png").read_bytes()
-    rgba = png_codec.decode_png(data)
+    rgba = png_codec.decode_png((corpus_dir / name).read_bytes())
+    stb_size = _stb_png_size(rgba)
     blob = png_codec.encode_png(rgba)
-    # Round-trips bit-exact…
-    rgba2 = png_codec.decode_png(blob)
-    assert (rgba == rgba2).all()
-    # …and beats the reference encoder's size (stb: 45,420 was ours earlier;
-    # stb itself produced 41,221 on its own filter choices — compare against
-    # the published stb number with a small tolerance for filter differences).
-    assert len(blob) <= 45_420, f"PNG encode regressed: {len(blob)}"
+    assert (png_codec.decode_png(blob) == rgba).all()
+    assert len(blob) <= stb_size, (
+        f"{name}: ours {len(blob)} > stb {stb_size}"
+    )
+
+
+@pytest.mark.slow
+def test_size_beats_stb_font(corpus_dir):
+    """font.png — the BASELINE.md anchor (stb re-encode 41,221 B)."""
+    from debigulator_tpu.models import png_codec
+
+    rgba = png_codec.decode_png((corpus_dir / "font.png").read_bytes())
+    stb_size = _stb_png_size(rgba)
+    blob = png_codec.encode_png(rgba)
+    assert (png_codec.decode_png(blob) == rgba).all()
+    assert len(blob) <= stb_size, f"ours {len(blob)} > stb {stb_size}"
 
 
 @pytest.mark.parametrize(

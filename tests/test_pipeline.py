@@ -88,3 +88,29 @@ def test_png_negative_cases(corpus_dir):
     bad[28] = 1
     with _pytest.raises(PngError):
         decode_png(bytes(bad))
+
+
+def test_single_host_scan_per_member(monkeypatch):
+    """VERDICT r2 weak #6: decode_gzip_device must scan each member's
+    bytes exactly once (the member-end scan feeds the device plan)."""
+    import gzip as pg
+
+    from debigulator_tpu.ops import scanner as sc
+
+    calls = {"n": 0}
+    real = sc.scan_stream_cells
+
+    def counting(data, cell_bits):
+        calls["n"] += 1
+        return real(data, cell_bits)
+
+    monkeypatch.setattr(sc, "scan_stream_cells", counting)
+    monkeypatch.setattr(
+        "debigulator_tpu.models.pipeline.scan_stream_cells", counting,
+        raising=False,
+    )
+    payload = b"scan me once " * 400
+    blob = pg.compress(payload, 6) + pg.compress(payload[::-1], 6)
+    out = pipeline.decode_gzip_device(blob)
+    assert out == payload + payload[::-1]
+    assert calls["n"] == 2, f"expected 1 scan per member, got {calls['n']}"
