@@ -1,12 +1,27 @@
-"""Benchmark: gzip decode throughput on the real chip.
+"""Benchmark: gzip decode on the real chip — honest end-to-end numbers.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: the compiled reference decodes gzipsample.gz at 0.019 GB/s of
 output on this container's CPU (BASELINE.md).  vs_baseline = ours / that.
 
-Runs the measurement in a watchdog subprocess (the TPU tunnel can wedge);
-if the chip is unreachable the CPU backend result is reported with
-backend="cpu-fallback" so a line is always emitted.
+Methodology (round 3, per VERDICT r2):
+  * K DISTINCT streams (rotated + re-compressed variants of the
+    gzipsample content) — no plan reuse across items.
+  * The headline `value` is **e2e_gbps**: wall-clock from raw stream
+    bytes to decoded output resident on device, INCLUDING the per-rep
+    host scan, plan build, device staging, dispatch, and sync.  The
+    flagship pipeline is device-resident (Pallas Phase A decodes every
+    Huffman symbol on chip; host work is the O(blocks+cells) block
+    index).  One-time compiles are excluded (reported separately).
+  * device_gbps (pipelined dispatch, plan staged) and single-stream
+    latency are reported alongside; bit-exactness is asserted on every
+    stream before any number is emitted.
+  * png_mbps: device PNG decode (gimp_test.png, the README anchor),
+    end-to-end wall clock vs the reference's 138 MB/s RGBA-out.
+
+Runs the measurement in a watchdog subprocess (the TPU tunnel can
+wedge); if the chip is unreachable the CPU backend result is reported
+with backend="cpu-fallback" so a line is always emitted.
 """
 
 from __future__ import annotations
@@ -18,7 +33,22 @@ import sys
 import time
 
 BASELINE_GBPS = 0.019
+PNG_BASELINE_MBPS = 138.0  # reference decode_png on gimp_test (BASELINE.md)
 _INNER_FLAG = "DBG_BENCH_INNER"
+
+
+def _make_streams(base: bytes, k: int) -> list[bytes]:
+    """K distinct DEFLATE streams with gzipsample-like content: rotate the
+    decompressed corpus content and re-compress at varying levels."""
+    import zlib
+
+    streams = []
+    for i in range(k):
+        rot = (i * 40961) % len(base)
+        content = base[rot:] + base[:rot]
+        c = zlib.compressobj(6 + (i % 4), zlib.DEFLATED, -15)
+        streams.append(c.compress(content) + c.flush())
+    return streams
 
 
 def inner(backend: str) -> None:
@@ -36,67 +66,121 @@ def inner(backend: str) -> None:
         setup_jax_cache()
         import jax
 
-        from debigulator_tpu.models.gzip_codec import parse_gzip_members
         from debigulator_tpu.parallel.merged import build_merged_plan, prepare_merged
 
         raw = open("/root/reference/resources/gzipsample.gz", "rb").read()
-        m = parse_gzip_members(raw)[0]
-        stream = raw[m.deflate_start : m.deflate_end]
-
         import gzip as pg
 
-        expected = pg.decompress(raw)
-
-        # Batched decode: K independent copies of the member merged into
-        # ONE fused device call (the TPU analog of hellogz.c:64-74's
-        # repeat-2000 loop; the tunnel costs ~30 ms per device call, so
-        # per-call batching is the throughput lever on this setup).
-        K = 128 if backend != "cpu" else 2
-        t0 = time.time()
-        mp = build_merged_plan([stream] * K)
-        plan = mp.plan
-        scan_s = time.time() - t0
-        t0 = time.time()
-        run_once = prepare_merged(mp)  # stage arrays + first call (compile)
-        prep_s = time.time() - t0
-        exact = plan.exact_entries
-
-        body = run_once()
-        got = np.asarray(body[: plan.out_size]).astype(np.uint8)
-        # Correctness gate before any number is reported: every copy.
-        for off, size in zip(mp.out_offsets, mp.out_sizes):
-            assert got[off : off + size].tobytes() == expected, \
-                "bench decode is not bit-exact!"
+        base = pg.decompress(raw)
+        K = 29 if backend != "cpu" else 2
+        streams = _make_streams(base, K)
+        out_bytes = K * len(base)
 
         probe = jax.jit(lambda x: x.reshape(-1)[:8])
-        reps = 5
-        # Throughput methodology: back-to-back dispatches, one sync at the
-        # end (steady-state pipelining — dispatch overlaps device compute;
-        # the tunnel round-trip otherwise adds ~30 ms per call).
+
+        def run_e2e():
+            """Full pipeline for K fresh streams: host scan -> plan ->
+            stage -> device Phase A + Phase B -> device sync."""
+            mp = build_merged_plan(streams, records=False)
+            run = prepare_merged(mp)
+            body = run()
+            np.asarray(probe(body))  # device sync (8-byte readback)
+            return mp, run, body
+
+        # Warm-up (compiles; shapes repeat across reps so this is one-time).
         t0 = time.time()
-        bodies = [run_once() for _ in range(reps)]
-        _ = np.asarray(probe(bodies[-1]))  # force device sync (8-byte read)
-        dt = (time.time() - t0) / reps
-        value = K * len(expected) / dt / 1e9
-        detail = {
+        mp, run, body = run_e2e()
+        compile_s = time.time() - t0
+
+        # Correctness gate on every distinct stream before any number.
+        import zlib as z
+
+        got = np.asarray(body[: mp.plan.out_size]).astype(np.uint8)
+        for off, size, s in zip(mp.out_offsets, mp.out_sizes, streams):
+            assert got[off : off + size].tobytes() == z.decompress(s, -15), \
+                "bench decode is not bit-exact!"
+        del got
+
+        # e2e throughput: fresh host scan + plan + stage + decode, per rep.
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            run_e2e()
+        e2e_dt = (time.time() - t0) / reps
+        e2e_gbps = out_bytes / e2e_dt / 1e9
+
+        # Device-side throughput: plan staged once, pipelined dispatch.
+        reps_d = 5
+        t0 = time.time()
+        for _ in range(reps_d):
+            body = run()
+        np.asarray(probe(body))
+        dev_dt = (time.time() - t0) / reps_d
+        dev_gbps = out_bytes / dev_dt / 1e9
+
+        # Host-only cost (scan + plan build + host piece of staging).
+        t0 = time.time()
+        mp2 = build_merged_plan(streams, records=False)
+        host_ms = (time.time() - t0) * 1e3
+
+        # Single-stream latency (fresh stream end-to-end).
+        from debigulator_tpu.ops.inflate_v3 import inflate_device_v3
+
+        one = streams[0]
+        expected_one = pg.decompress(raw)
+        inflate_device_v3(one)  # warm compile for the 1-stream shapes
+        t0 = time.time()
+        out_one = inflate_device_v3(one)
+        single_ms = (time.time() - t0) * 1e3
+        import zlib as z
+
+        assert out_one == z.decompress(one, -15)
+
+        # PNG device decode (gimp_test anchor).
+        png_mbps = None
+        try:
+            from debigulator_tpu.models.pipeline import decode_png_device
+
+            png_raw = open(
+                "/root/reference/resources/gimp_test.png", "rb"
+            ).read()
+            rgba = decode_png_device(png_raw)  # warm compile
+            t0 = time.time()
+            rgba = decode_png_device(png_raw)
+            png_dt = time.time() - t0
+            png_mbps = rgba.nbytes / png_dt / 1e6
+            avg = rgba.reshape(-1, 4).mean(axis=0).round().astype(int)
+            assert list(avg) in ([248, 249, 251, 158], [249, 249, 251, 158])
+        except Exception as e:  # noqa: BLE001
+            detail["png_error"] = f"{type(e).__name__}: {e}"
+
+        value = e2e_gbps
+        detail.update({
             "device": str(jax.devices()[0]),
             "batch": K,
-            "call_ms": round(dt * 1e3, 2),
-            "per_stream_ms": round(dt * 1e3 / K, 2),
-            "host_scan_ms": round(scan_s * 1e3, 1),
-            "stage_compile_s": round(prep_s, 1),
-            "exact_entries": exact,
-            "pipeline": "fused v12 merged-batch (host-packed narrow piece "
-                        "words -> segmented grouped Pallas LZ77 kernel, "
-                        "pipelined dispatch)",
+            "distinct_streams": True,
+            "e2e_gbps": round(e2e_gbps, 5),
+            "device_gbps": round(dev_gbps, 5),
+            "e2e_ms_per_stream": round(e2e_dt * 1e3 / K, 2),
+            "device_ms_per_stream": round(dev_dt * 1e3 / K, 2),
+            "host_ms_per_stream": round(host_ms / K, 2),
+            "single_stream_ms": round(single_ms, 1),
+            "compile_warm_s": round(compile_s, 1),
+            "sync": "per-rep device sync (e2e); pipelined (device_gbps)",
+            "pipeline": "v7 device-resident: Pallas Phase A (on-chip "
+                        "Huffman) + segmented Pallas LZ77; host = "
+                        "O(blocks+cells) scan",
             "bit_exact": True,
-        }
+        })
+        if png_mbps is not None:
+            detail["png_mbps"] = round(png_mbps, 1)
+            detail["png_vs_reference"] = round(png_mbps / PNG_BASELINE_MBPS, 2)
     except Exception as e:  # noqa: BLE001
         detail = {"error": f"{type(e).__name__}: {e}"}
     print(
         json.dumps(
             {
-                "metric": "gzip_decode_throughput",
+                "metric": "gzip_decode_e2e_throughput",
                 "value": round(value, 5),
                 "unit": "GB/s",
                 "vs_baseline": round(value / BASELINE_GBPS, 3),
@@ -131,7 +215,7 @@ def main() -> None:
     if os.environ.get(_INNER_FLAG):
         inner(os.environ[_INNER_FLAG])
         return
-    line = _run_inner("tpu", timeout=900)
+    line = _run_inner("tpu", timeout=2400)
     if line is None or '"error"' in line:
         fallback = _run_inner("cpu", timeout=600)
         if line is None:
@@ -141,7 +225,7 @@ def main() -> None:
     if line is None:
         line = json.dumps(
             {
-                "metric": "gzip_decode_throughput",
+                "metric": "gzip_decode_e2e_throughput",
                 "value": 0.0,
                 "unit": "GB/s",
                 "vs_baseline": 0.0,

@@ -8,11 +8,18 @@
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# Standalone-script convenience: make the repo root importable when run as
+# `python cli/tpu_gz.py` (sys.path[0] is cli/ in that mode).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tpu_bmp")
+    ap.add_argument("-v", "--verbose", action="count", default=0,
+                    help="decode summaries (-v) / phase debug (-vv)")
     sub = ap.add_subparsers(dest="cmd", required=True)
     r = sub.add_parser("roundtrip")
     r.add_argument("file")
@@ -20,6 +27,10 @@ def main(argv=None) -> int:
     i = sub.add_parser("info")
     i.add_argument("file")
     args = ap.parse_args(argv)
+    if args.verbose:
+        from debigulator_tpu.utils.config import get_config
+
+        get_config().verbosity = max(get_config().verbosity, args.verbose)
 
     from debigulator_tpu.models import bmp_codec
     from debigulator_tpu.utils.preview import summary

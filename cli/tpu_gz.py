@@ -11,12 +11,19 @@ throughput measurement.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# Standalone-script convenience: make the repo root importable when run as
+# `python cli/tpu_gz.py` (sys.path[0] is cli/ in that mode).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tpu_gz")
+    ap.add_argument("-v", "--verbose", action="count", default=0,
+                    help="decode summaries (-v) / phase debug (-vv)")
     sub = ap.add_subparsers(dest="cmd", required=True)
     d = sub.add_parser("decode")
     d.add_argument("file")
@@ -28,6 +35,10 @@ def main(argv=None) -> int:
     e.add_argument("file")
     e.add_argument("-o", "--output")
     args = ap.parse_args(argv)
+    if args.verbose:
+        from debigulator_tpu.utils.config import get_config
+
+        get_config().verbosity = max(get_config().verbosity, args.verbose)
 
     from debigulator_tpu.utils.config import setup_jax_cache
 

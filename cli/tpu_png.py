@@ -9,7 +9,12 @@
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# Standalone-script convenience: make the repo root importable when run as
+# `python cli/tpu_gz.py` (sys.path[0] is cli/ in that mode).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
@@ -17,6 +22,8 @@ import numpy as np
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tpu_png")
+    ap.add_argument("-v", "--verbose", action="count", default=0,
+                    help="decode summaries (-v) / phase debug (-vv)")
     sub = ap.add_subparsers(dest="cmd", required=True)
     d = sub.add_parser("decode")
     d.add_argument("files", nargs="+")
@@ -30,6 +37,10 @@ def main(argv=None) -> int:
     r = sub.add_parser("roundtrip")
     r.add_argument("files", nargs="+")
     args = ap.parse_args(argv)
+    if args.verbose:
+        from debigulator_tpu.utils.config import get_config
+
+        get_config().verbosity = max(get_config().verbosity, args.verbose)
 
     from debigulator_tpu.models import png_codec
     from debigulator_tpu.utils.preview import ascii_preview, summary

@@ -2,7 +2,7 @@
 
 This is the production path (host side kept to container parsing + the
 native block scan, per the boundary in SURVEY §3): gzip members and PNG
-IDAT streams decode on device via ops.inflate_device, PNG reconstruction
+IDAT streams decode on device via ops.inflate_v3, PNG reconstruction
 runs the wavefront unfilter kernel, color expansion is a device gather,
 and integrity checks (CRC-32 / Adler-32) can run on device or host.
 """
@@ -21,6 +21,7 @@ from debigulator_tpu.models.zlib_codec import parse_zlib_header
 from debigulator_tpu.ops import checksum as ck
 from debigulator_tpu.ops.inflate_v3 import inflate_device_v3 as inflate_device
 from debigulator_tpu.ops.unfilter_device import unfilter_device
+from debigulator_tpu.utils.logging import PhaseLog
 
 
 def decode_gzip_device(data, verify: bool = True) -> bytes:
@@ -35,6 +36,7 @@ def decode_gzip_device(data, verify: bool = True) -> bytes:
     out_parts = []
     at = 0
     while at < n:
+        plog = PhaseLog("gzip.decode_device")
         p, hdr = _parse_header(data, at)
         payload = bytes(data[p:])
         # ONE host scan per member: the same pass that finds the member's
@@ -42,27 +44,35 @@ def decode_gzip_device(data, verify: bool = True) -> bytes:
         # device plan (no rescan inside inflate_device).
         scanned = scan_stream_cells(payload, CELL_BITS)
         blocks = scanned[0]
+        plog.mark("scan")
         end = p + (blocks[-1].end_bit + 7) // 8
         if end + 8 > n:
             raise GzipError("truncated gzip footer")
         out = inflate_device(payload[: end - p], scanned=scanned)
+        plog.mark("inflate")
         crc, isize = struct.unpack_from("<II", data, end)
         if verify:
             if len(out) & 0xFFFFFFFF != isize:
                 raise GzipError(f"ISIZE mismatch: {len(out)} vs {isize}")
             if ck.crc32(out) != crc:
                 raise GzipError("CRC-32 mismatch")
+            plog.mark("crc")
         out_parts.append(out)
         at = end + 8
+        plog.done(member_bytes=end + 8 - at, out_bytes=len(out),
+                  blocks=len(blocks), crc="ok" if verify else "skipped")
     return b"".join(out_parts)
 
 
 def decode_png_device(data, verify_crc: bool = True, verify_adler: bool = True):
     """PNG decode: device inflate + wavefront unfilter + device expansion."""
+    plog = PhaseLog("png.decode_device")
     chunks = png_codec.parse_chunks(data, verify_crc=verify_crc)
     info = chunks.info
     parse_zlib_header(chunks.idat)
+    plog.mark("chunks")
     raw = inflate_device(chunks.idat[2:])
+    plog.mark("inflate")
     expected_size = info.height * (1 + info.stride)
     if len(raw) != expected_size:
         raise png_codec.PngError(
@@ -72,12 +82,18 @@ def decode_png_device(data, verify_crc: bool = True, verify_adler: bool = True):
         (expected,) = struct.unpack_from(">I", chunks.idat, len(chunks.idat) - 4)
         if ck.adler32(raw) != expected:
             raise png_codec.PngError("IDAT Adler-32 mismatch")
+        plog.mark("adler")
     recon = unfilter_device(
         np.frombuffer(raw, np.uint8), info.height, info.width, info.bpp
     )
-    return png_codec.expand_to_rgba(
+    plog.mark("unfilter")
+    rgba = png_codec.expand_to_rgba(
         np.asarray(recon), info, chunks.palette, chunks.trns
     )
+    plog.done(w=info.width, h=info.height, color_type=info.color_type,
+              crc="ok" if verify_crc else "skipped",
+              adler="ok" if verify_adler else "skipped")
+    return rgba
 
 
 def decode_png_batch(datas: list[bytes], mesh=None, verify_crc: bool = True):

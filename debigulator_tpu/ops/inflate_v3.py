@@ -1143,6 +1143,27 @@ def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS,
     )
     from debigulator_tpu.ops import lz77_pallas as lz
 
+    if use_pallas and exact:
+        # Flagship device-resident path for ANY output size: Pallas Phase A
+        # (on-chip Huffman decode) + segmented Phase B.
+        from debigulator_tpu.ops.phase_a_pallas import build_pa_arrays
+
+        pa = build_pa_arrays(plan)
+        if pa is not None:
+            n_seg = _round_pow2(max(1, -(-plan.out_size // SEG_BYTES)), 1)
+            interp = jax.default_backend() == "cpu"
+            body, overflow = _inflate_v7_jit(
+                pa, arrays, plan.slots, n_seg, plan.num_cells,
+                interpret=interp,
+            )
+            if bool(overflow):
+                body, overflow = _inflate_v7_jit(
+                    pa, arrays, CELL_BITS, n_seg, plan.num_cells,
+                    interpret=interp,
+                )
+                assert not bool(overflow)
+            return np.asarray(body[: plan.out_size]).astype(np.uint8).tobytes()
+
     if use_pallas and plan.out_size + lz.WINDOW + 512 <= lz.OUT_CAP + lz.WINDOW:
         out_rows = _round_pow2(
             -(-(plan.out_size + lz.PAD + lz.WINDOW + lz.MAXLEN + 512) // 128), 64

@@ -7,28 +7,35 @@ round-trips through HBM, and the chase re-reads the full NXT/META tables
 on every while-loop step (~260 MB/step at 16 Mbit).  Measured on v5e:
 91 ms graph + 68 ms chase for a 16-stream merged batch.
 
-This kernel keeps the whole thing in VMEM per tile of 128 cells:
+This kernel keeps the whole thing in VMEM per tile of TC cells:
 
-* layout: **cells on lanes (128), bit positions on sublanes (64)** — all
-  per-cell quantities are (1, 128) lane vectors that broadcast across the
+* layout: **cells on lanes, bit positions on sublanes (64)** — all
+  per-cell quantities are (1, TC) lane vectors that broadcast across the
   position axis for free;
 * the 32-bit window at every position comes from three per-cell words
   (cell bits + 32-bit lookahead), shifted by the sublane index;
 * canonical decode = the same 15-length branch-free probe as XLA
   (reference inflate.c:565-706 semantics), with per-cell count/first/base
-  selected from an 8-block table page by an unrolled compare tree;
-* the canonical-offset -> packed-symbol lookup is an int8 MXU matmul with
-  the TABLE ENTRY axis on sublanes: ``planes (24, 288) @ onehot (288, 8*128)``
-  — one-hots are built by broadcast compare, never relayouted;
-* the chase walks each cell's token chain with exact scanner entries
-  (states never leave the cell), one-hot sublane lookups into the (64,128)
-  transition planes, early-exiting when every lane is inactive; the tape
-  (slots, 128) is emitted directly to the kernel output.
+  selected from a PAGE-block table page by ONE small f32 matmul;
+* the canonical-offset -> packed-symbol lookup is an int8 MXU matmul
+  against 7-bit planes of the table page (plane-major rows), followed by
+  a vectorized block-select (mask + 3 static slices + sublane reduce) —
+  no unrolled per-position/per-block select trees;
+* the chase walks each cell's token chain with a `fori_loop` over the 64
+  bit positions, reading the per-position transition rows from VMEM
+  scratch with dynamic sublane indexing.  Positions advance strictly
+  monotonically (every code consumes >= 1 bit), so the single sweep
+  visits every chain step in order; exact scanner entries mean states
+  never leave the cell.
 
-Block tables are paged: page p covers blocks [4p, 4p+8); a tile picks its
-page via scalar prefetch.  Tiles whose 128 cells span more than one page
-window (blocks denser than ~52 cells apart — pathological streams) fall
-back to the XLA path, as does speculative (non-exact) mode.
+The v1 kernel unrolled both the 64-step chase and a per-group/per-block
+select tree into straight-line code; Mosaic compile time exceeded 20
+minutes for a 16-stream batch.  This version compiles in seconds.
+
+Block tables are paged: page p covers blocks [PAGE_STRIDE*p,
+PAGE_STRIDE*p + PAGE); a tile picks its page via scalar prefetch.  Tiles
+whose cells span more than one page window (pathological block-dense
+streams) fall back to the XLA path, as does speculative mode.
 
 Token tape packing and META kind codes match ops.inflate_v3 exactly, so
 Phase B (ops.lz77_pallas) consumes the result unchanged.
@@ -63,7 +70,9 @@ PAGE_STRIDE = 4
 #: 7-bit int8 planes per packed aug value (litlen 15 bits, dist 19 bits).
 N_PLANES = 3
 #: Inactive chase lane sentinel (any position >= CELL_BITS).
-INACTIVE = CELL_BITS
+INACTIVE = 127
+#: Position rows per symbol-lookup MXU call.
+GSZ = 8
 
 
 def _rev15(x):
@@ -76,15 +85,18 @@ def _rev15(x):
 
 
 def _phase_a_kernel(pb_ref, vw_ref, ent_ref, pend_ref, lb_ref, par_ref,
-                    llp_ref, dp_ref, tape_ref, cnt_ref, *, slots: int):
-    """One tile: 128 cells x 64 bit positions -> (slots, 128) tape rows.
+                    llp_ref, dp_ref, tape_ref, cnt_ref,
+                    nl_s, ml_s, nd_s, md_s, *, slots: int):
+    """One tile: TC cells x 64 bit positions -> (slots, TC) tape rows.
 
     vw_ref: (3, TC) int32 — w0/w1 = the cell's 64 bits, w2 = 32-bit
     lookahead.  ent_ref/pend_ref: (1, TC) exact local entry state (-1 =
     no code starts here) and pending match length.  lb_ref: (1, TC)
     page-local block id in [0, PAGE).  par_ref: (1, 96, PAGE) int32 param
     page (rows: ll count/first/base then d count/first/base, 16 lengths
-    each).  llp_ref: (1, 3*PAGE, 288) int8; dp_ref: (1, 3*PAGE, 32) int8.
+    each).  llp_ref: (1, 3*PAGE, 288) int8 plane-major (row = k*PAGE + b);
+    dp_ref: (1, 3*PAGE, 32) int8 plane-major.  nl/ml/nd/md_s: (64, TC)
+    int32 VMEM scratch for the per-position transition rows.
     """
     w0 = vw_ref[0:1, :].astype(jnp.uint32)
     w1 = vw_ref[1:2, :].astype(jnp.uint32)
@@ -97,19 +109,18 @@ def _phase_a_kernel(pb_ref, vw_ref, ent_ref, pend_ref, lb_ref, par_ref,
     win = (a >> r) | jnp.where(r > 0, b << (jnp.uint32(32) - r), 0)
     rev = _rev15(win & jnp.uint32(0x7FFF))
 
+    # Per-cell decode params: ONE exact f32 matmul (96, PAGE) x (PAGE, TC)
+    # against the block-selection one-hot (values < 2^24, single term).
     lb = lb_ref[:]  # (1, TC)
-    par_page = par_ref[0]  # (96, PAGE)
-    par = jnp.zeros((96, TC), jnp.int32)
-    for bb in range(PAGE):
-        par = jnp.where(lb == bb, par_page[:, bb : bb + 1], par)
+    iota_pg = jax.lax.broadcasted_iota(jnp.int32, (PAGE, TC), 0)
+    ohb = (iota_pg == lb).astype(jnp.float32)  # (PAGE, TC)
+    par = jax.lax.dot_general(
+        par_ref[0].astype(jnp.float32), ohb, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)  # (96, TC)
 
-    def decode_side(row0, planes_page, k_dim):
-        """15-length canonical probe + MXU symbol lookup.
-
-        row0: first row of this side's params in ``par`` (0 = litlen,
-        48 = dist).  planes_page: (3*PAGE, k_dim) int8.  Returns
-        (aug (64,TC) int32, length (64,TC) int32).
-        """
+    def probe(row0):
+        """15-length canonical probe -> (length, offset, unmatched)."""
         length = jnp.zeros((CELL_BITS, TC), jnp.int32)
         offset = jnp.zeros((CELL_BITS, TC), jnp.int32)
         for l in range(1, C.MAX_BITS + 1):
@@ -124,40 +135,55 @@ def _phase_a_kernel(pb_ref, vw_ref, ent_ref, pend_ref, lb_ref, par_ref,
         unmatched = length == 0
         length = jnp.where(unmatched, C.MAX_BITS, length)
         offset = jnp.where(unmatched, 0, offset)
+        return length, offset, unmatched
 
-        iota_k = jax.lax.broadcasted_iota(jnp.int32, (k_dim, TC), 0)
-        aug_rows = []
-        gsz = 8  # position rows per MXU call
-        for g in range(0, CELL_BITS, gsz):
-            ohs = [
-                (iota_k == offset[g + t : g + t + 1, :]).astype(jnp.int8)
-                for t in range(gsz)
-            ]
-            oh = jnp.concatenate(ohs, axis=1)  # (k_dim, gsz*TC)
+    # Symbol lookup: int8 MXU one-hot against plane-major table planes,
+    # then block-select via mask + per-plane static slice + sublane sum.
+    # Layout discipline (Mosaic): the (position-row, cell) -> flat column
+    # round trip goes THROUGH VMEM scratch — row loads from a ref come
+    # back at sublane offset 0 (value slices don't), and the per-row
+    # write-back slices land on 128-lane-tile boundaries (TC % 128 == 0).
+    iota_k288 = jax.lax.broadcasted_iota(jnp.int32, (288, GSZ * TC), 0)
+    iota_k32 = jax.lax.broadcasted_iota(jnp.int32, (32, GSZ * TC), 0)
+    iota_row = jax.lax.broadcasted_iota(
+        jnp.int32, (N_PLANES * PAGE, GSZ * TC), 0
+    )
+    lbg = jnp.concatenate([lb] * GSZ, axis=1)  # (1, GSZ*TC)
+    bmask = (iota_row % PAGE) == lbg  # (3*PAGE, GSZ*TC)
+
+    def lookup(off_ref, aug_ref, planes_page, iota_k):
+        """aug_ref[p, c] = packed table value at off_ref[p, c]."""
+        for g in range(0, CELL_BITS, GSZ):
+            offg = jnp.concatenate(
+                [off_ref[g + t : g + t + 1, :] for t in range(GSZ)], axis=1
+            )  # (1, GSZ*TC)
+            oh = (iota_k == offg).astype(jnp.int8)
             out = jax.lax.dot_general(
                 planes_page, oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            )  # (3*PAGE, gsz*TC)
-            for t in range(gsz):
-                chunk = out[:, t * TC : (t + 1) * TC]  # (3*PAGE, TC)
-                acc = jnp.zeros((N_PLANES, TC), jnp.int32)
-                for bb in range(PAGE):
-                    acc = jnp.where(
-                        lb == bb,
-                        chunk[bb * N_PLANES : (bb + 1) * N_PLANES, :],
-                        acc,
-                    )
-                aug_rows.append(
-                    acc[0:1] | (acc[1:2] << 7) | (acc[2:3] << 14)
-                )
-        aug = jnp.concatenate(aug_rows, axis=0)  # (64, TC)
-        aug = jnp.where(unmatched, 0, aug)
-        return aug, length
+            )  # (3*PAGE, GSZ*TC)
+            outm = jnp.where(bmask, out, 0)
+            acc = None
+            for k in range(N_PLANES):
+                plane = jnp.sum(
+                    outm[k * PAGE : (k + 1) * PAGE, :], axis=0, keepdims=True
+                )  # (1, GSZ*TC)
+                acc = plane if acc is None else acc | (plane << (7 * k))
+            for t in range(GSZ):
+                aug_ref[g + t : g + t + 1, :] = acc[
+                    :, t * TC : (t + 1) * TC
+                ]
 
-    ll_aug, ll_len = decode_side(0, llp_ref[0], 288)
-    d_aug, d_len = decode_side(48, dp_ref[0], 32)
+    ll_len, ll_off, ll_un = probe(0)
+    nl_s[:] = ll_off
+    lookup(nl_s, ml_s, llp_ref[0], iota_k288)
+    ll_aug = jnp.where(ll_un, 0, ml_s[:])
+    d_len, d_off, d_un = probe(48)
+    nd_s[:] = d_off
+    lookup(nd_s, md_s, dp_ref[0], iota_k32)
+    d_aug = jnp.where(d_un, 0, md_s[:])
 
-    # --- graph values (same math as build_graph_v3, local coordinates) ---
+    # --- transition rows (same math as build_graph_v3, local coords) ---
     lval = ll_aug & 0x1FF
     leb = (ll_aug >> 9) & 0xF
     is_len = (ll_aug >> 13) & 1
@@ -166,9 +192,8 @@ def _phase_a_kernel(pb_ref, vw_ref, ent_ref, pend_ref, lb_ref, par_ref,
         (1 << leb) - 1
     )
     length_val = lval + lextra
-    np_lit = p + ll_len + jnp.where(is_len == 1, leb, 0)
-    np_lit = jnp.where(is_eob == 1, INACTIVE, np_lit)
-    nm_lit = is_len  # next mode: dist after a length symbol
+    nxt_lit = p + ll_len + jnp.where(is_len == 1, leb, 0)
+    nxt_lit = jnp.where(is_eob == 1, INACTIVE, nxt_lit)
     meta_lit = jnp.where(
         (is_len == 1) | (is_eob == 1),
         (K_NONE << META_KIND_SHIFT)
@@ -181,30 +206,31 @@ def _phase_a_kernel(pb_ref, vw_ref, ent_ref, pend_ref, lb_ref, par_ref,
     dextra = (win >> d_len.astype(jnp.uint32)).astype(jnp.int32) & (
         (1 << deb) - 1
     )
-    np_dist = p + d_len + deb
-    meta_dist = (K_DIST << META_KIND_SHIFT) | (dbase + dextra)
+    nl_s[:] = nxt_lit
+    ml_s[:] = meta_lit
+    nd_s[:] = p + d_len + deb
+    md_s[:] = (K_DIST << META_KIND_SHIFT) | (dbase + dextra)
 
-    # --- chase: static wavefront sweep ---
-    # Positions advance strictly monotonically (every code consumes >= 1
-    # bit), so one unrolled p = 0..63 sweep visits every chain step in
-    # order with STATIC table-row indexing — no per-token one-hot sum
-    # over the 64-row tables (the while-loop formulation's cost).
+    # --- chase: fori_loop over positions, dynamic scratch-row reads ---
     el = ent_ref[:]
-    s_pos = jnp.where(el >= 0, el >> 1, INACTIVE)
-    s_mode = jnp.where(el >= 0, el & 1, 0)
-    pend = pend_ref[:]
-    cnt = jnp.zeros((1, TC), jnp.int32)
+    s_pos0 = jnp.where(el >= 0, el >> 1, INACTIVE)
+    s_mode0 = jnp.where(el >= 0, el & 1, 0)
+    pend0 = pend_ref[:]
+    cnt0 = jnp.zeros((1, TC), jnp.int32)
+    tape0 = jnp.full((slots, TC), -1, jnp.int32)
     iota_slots = jax.lax.broadcasted_iota(jnp.int32, (slots, 1), 0)
 
-    tape = jnp.full((slots, TC), -1, jnp.int32)
-
-    kind_lit = meta_lit >> META_KIND_SHIFT  # (64, TC)
-    for p in range(CELL_BITS):
-        here = s_pos == p  # (1, TC)
+    def step(pp, carry):
+        s_pos, s_mode, pend, cnt, tape = carry
+        here = s_pos == pp
         mode_b = s_mode == 1
-        nx_pos = jnp.where(mode_b, np_dist[p : p + 1], np_lit[p : p + 1])
-        kind = jnp.where(mode_b, K_DIST, kind_lit[p : p + 1])
-        mt = jnp.where(mode_b, meta_dist[p : p + 1], meta_lit[p : p + 1])
+        nl = nl_s[pl.ds(pp, 1), :]
+        ml = ml_s[pl.ds(pp, 1), :]
+        nd = nd_s[pl.ds(pp, 1), :]
+        md = md_s[pl.ds(pp, 1), :]
+        nx = jnp.where(mode_b, nd, nl)
+        mt = jnp.where(mode_b, md, ml)
+        kind = mt >> META_KIND_SHIFT
         payload = mt & 0xFFFF
         pd = (mt >> 16) & 0x1FF
         is_dist = kind == K_DIST
@@ -213,14 +239,20 @@ def _phase_a_kernel(pb_ref, vw_ref, ent_ref, pend_ref, lb_ref, par_ref,
             jnp.where(kind == K_LIT, payload, -1),
         )
         new_pend = jnp.where(is_dist, 0, jnp.where(pd > 0, pd, pend))
+        # Next mode after a litlen symbol: dist iff it was a length code.
+        mo = ((kind == K_NONE) & (pd > 0)).astype(jnp.int32)
         do_emit = here & (em >= 0)
         upd = (iota_slots == cnt) & do_emit
         tape = jnp.where(upd, em, tape)
         cnt = cnt + do_emit.astype(jnp.int32)
-        s_pos = jnp.where(here, nx_pos, s_pos)
-        s_mode = jnp.where(here, jnp.where(mode_b, 0, nm_lit[p : p + 1]),
-                           s_mode)
+        s_pos = jnp.where(here, nx, s_pos)
+        s_mode = jnp.where(here, jnp.where(mode_b, 0, mo), s_mode)
         pend = jnp.where(here, new_pend, pend)
+        return s_pos, s_mode, pend, cnt, tape
+
+    _, _, _, cnt, tape = jax.lax.fori_loop(
+        0, CELL_BITS, step, (s_pos0, s_mode0, pend0, cnt0, tape0)
+    )
     tape_ref[:] = tape
     cnt_ref[:] = cnt
 
@@ -251,6 +283,12 @@ def phase_a_pallas(pa, slots: int, interpret: bool = False):
         out_specs=[
             pl.BlockSpec((slots, TC), lambda i, pb: (0, i)),
             pl.BlockSpec((1, TC), lambda i, pb: (0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CELL_BITS, TC), jnp.int32),
+            pltpu.VMEM((CELL_BITS, TC), jnp.int32),
+            pltpu.VMEM((CELL_BITS, TC), jnp.int32),
+            pltpu.VMEM((CELL_BITS, TC), jnp.int32),
         ],
     )
     tape_t, counts = pl.pallas_call(
@@ -328,11 +366,14 @@ def build_pa_arrays(plan) -> dict | None:
             tab[gidx], (0, 2, 1)
         )
 
-    def planes_of(aug, k_dim):  # (nb, k_dim) -> (n_pages, 3*PAGE, k_dim)
+    def planes_of(aug, k_dim):
+        """(nb, k_dim) -> (n_pages, 3*PAGE, k_dim), PLANE-major rows
+        (row = k*PAGE + b) so the kernel's block-select folds each plane
+        with one static slice + sublane reduce."""
         out = np.zeros((n_pages, N_PLANES * PAGE, k_dim), np.int8)
-        for bb in range(PAGE):
-            for k in range(N_PLANES):
-                out[:, bb * N_PLANES + k, :] = (
+        for k in range(N_PLANES):
+            for bb in range(PAGE):
+                out[:, k * PAGE + bb, :] = (
                     (aug[gidx[:, bb]] >> (7 * k)) & 0x7F
                 ).astype(np.int8)
         return out

@@ -32,8 +32,15 @@ class MergedPlan:
     recs: dict | None = None
 
 
-def build_merged_plan(streams: list[bytes]) -> MergedPlan:
-    from debigulator_tpu.ops.scanner import scan_stream_records
+def build_merged_plan(streams: list[bytes], records: bool = True,
+                      scanned: list | None = None) -> MergedPlan:
+    """records=False skips the scanner's token-record emission and the
+    record merging — the device-resident (v7/v13) pipeline needs only
+    block index + cell entries, so the host cost stays O(blocks+cells)
+    per stream.  scanned: optional pre-computed per-stream scan results
+    ((blocks, lengths, cells) tuples) so container codecs that already
+    indexed the streams don't pay a second scan."""
+    from debigulator_tpu.ops.scanner import scan_stream_cells, scan_stream_records
 
     all_blocks: list = []
     all_lengths: list = []
@@ -48,8 +55,15 @@ def build_merged_plan(streams: list[bytes]) -> MergedPlan:
     # shift and concatenate.
     plans = []
     recs_list = []
-    for s in streams:
-        blocks, lengths, cells, recs = scan_stream_records(s, v3.CELL_BITS)
+    for i, s in enumerate(streams):
+        if scanned is not None:
+            blocks, lengths, cells = scanned[i]
+            recs = None
+        elif records:
+            blocks, lengths, cells, recs = scan_stream_records(s, v3.CELL_BITS)
+        else:
+            blocks, lengths, cells = scan_stream_cells(s, v3.CELL_BITS)
+            recs = None
         if cells is None:
             exact = False
         recs_list.append(recs)
@@ -343,13 +357,22 @@ def build_piece_arrays(recs: dict, n_seg: int,
     }
 
 
-def prepare_merged(mp: MergedPlan, interpret: bool | None = None):
+def prepare_merged(mp: MergedPlan, interpret: bool | None = None,
+                   host_fed: bool = False):
     """Stage a merged plan's arrays on device once; return a zero-argument
     runner that executes the fused decode call (device byte buffer out).
 
-    Prefers the v7 pipeline (Pallas Phase A, ~2x the XLA Phase A on v5e);
-    falls back to v5 when the Pallas kernel can't cover the plan
+    The FLAGSHIP path is device-resident: the Pallas Phase A kernel
+    decodes every Huffman symbol on chip (host work = block index + cell
+    entries only), then the segmented Phase B resolves LZ77.  Falls back
+    to the XLA Phase A (v5) when the Pallas kernel can't cover the plan
     (speculative entries or a tile spanning more than one table page).
+
+    host_fed=True selects the alternative v10/v12 pipeline instead (host
+    scan emits token records + packed piece groups; the device only
+    replays LZ77).  Its device call is faster but its host cost is
+    O(symbols) per stream — it is NOT the default and benchmarks count
+    its host time when used.
     """
     import jax
     import jax.numpy as jnp
@@ -360,19 +383,18 @@ def prepare_merged(mp: MergedPlan, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n_seg = v3._round_pow2(max(1, -(-plan.out_size // v3.SEG_BYTES)), 1)
-    v9 = build_v9_arrays(mp, n_seg) if plan.exact_entries else None
 
-    if v9 is not None:
-        # v10 host-fed path: match groups + dense literals from the
-        # scanner; no Phase A, no overflow probe.
-        sp = jnp.asarray(plan.stored_pos)
-        sv = jnp.asarray(plan.stored_val)
+    if host_fed:
+        v9 = build_v9_arrays(mp, n_seg) if plan.exact_entries else None
+        if v9 is not None:
+            sp = jnp.asarray(plan.stored_pos)
+            sv = jnp.asarray(plan.stored_val)
 
-        def run():
-            return v3._inflate_v10_jit(v9, sp, sv, n_seg,
-                                       interpret=interpret)
+            def run():
+                return v3._inflate_v10_jit(v9, sp, sv, n_seg,
+                                           interpret=interpret)
 
-        return run
+            return run
 
     pa = build_pa_arrays(plan) if plan.exact_entries else None
     arrays = v3.plan_arrays_v3(plan)

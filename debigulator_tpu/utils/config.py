@@ -18,14 +18,13 @@ class Config:
     use_native_scanner: bool = True
     #: Use the Pallas LZ77 resolver on TPU backends.
     use_pallas_lz77: bool = True
-    #: Virtual-cell size in bits for the device chase.
-    cell_bits: int = 512
     #: Persistent XLA compilation cache directory ("" disables).
     compilation_cache: str = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".jax_cache"
     )
-    #: Verbosity: 0 silent, 1 summaries, 2 debug.
-    verbosity: int = int(os.environ.get("DBG_VERBOSITY", "1"))
+    #: Verbosity: 0 silent, 1 decode summaries, 2 phase debug
+    #: (read by utils.logging.log; CLIs raise it via -v/-vv).
+    verbosity: int = int(os.environ.get("DBG_VERBOSITY", "0"))
 
 
 _config = Config()

