@@ -65,31 +65,53 @@ def decode_gzip_device(data, verify: bool = True) -> bytes:
 
 
 def decode_png_device(data, verify_crc: bool = True, verify_adler: bool = True):
-    """PNG decode: device inflate + wavefront unfilter + device expansion."""
+    """PNG decode, device-resident end to end: inflate + Adler + unfilter
+    + RGBA expansion all run on the decompressed bytes IN DEVICE MEMORY —
+    the only host transfers are the compressed stream in and the final
+    RGBA image out (plus 4 bytes for the Adler check)."""
+    import jax.numpy as jnp
+
+    from debigulator_tpu.ops.inflate_v3 import inflate_device_v3_dev
+
     plog = PhaseLog("png.decode_device")
     chunks = png_codec.parse_chunks(data, verify_crc=verify_crc)
     info = chunks.info
     parse_zlib_header(chunks.idat)
     plog.mark("chunks")
-    raw = inflate_device(chunks.idat[2:])
+    body, out_size = inflate_device_v3_dev(chunks.idat[2:])
     plog.mark("inflate")
     expected_size = info.height * (1 + info.stride)
-    if len(raw) != expected_size:
+    if out_size != expected_size:
         raise png_codec.PngError(
-            f"decompressed size {len(raw)} != expected {expected_size}"
+            f"decompressed size {out_size} != expected {expected_size}"
         )
+    raw_dev = body[:out_size]
     if verify_adler:
         (expected,) = struct.unpack_from(">I", chunks.idat, len(chunks.idat) - 4)
-        if ck.adler32(raw) != expected:
+        got = int(ck.adler32_device(raw_dev))
+        if got != expected:
             raise png_codec.PngError("IDAT Adler-32 mismatch")
         plog.mark("adler")
     recon = unfilter_device(
-        np.frombuffer(raw, np.uint8), info.height, info.width, info.bpp
+        raw_dev, info.height, info.width, info.bpp, as_numpy=False
     )
     plog.mark("unfilter")
-    rgba = png_codec.expand_to_rgba(
-        np.asarray(recon), info, chunks.palette, chunks.trns
-    )
+    ct = info.color_type
+    if ct == C.PNG_COLOR_RGBA:
+        rgba = np.asarray(recon).reshape(info.height, info.width, 4)
+    elif ct == C.PNG_COLOR_RGB:
+        # Device expand: append the alpha plane before the single readback.
+        r3 = recon.reshape(info.height, info.width, 3)
+        rgba = np.asarray(jnp.concatenate(
+            [r3, jnp.full((info.height, info.width, 1), 255, r3.dtype)],
+            axis=2,
+        ))
+    else:
+        # Palette / gray corpus images are small: expand after readback.
+        rgba = png_codec.expand_to_rgba(
+            np.asarray(recon), info, chunks.palette, chunks.trns
+        )
+    plog.mark("expand")
     plog.done(w=info.width, h=info.height, color_type=info.color_type,
               crc="ok" if verify_crc else "skipped",
               adler="ok" if verify_adler else "skipped")

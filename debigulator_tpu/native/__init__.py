@@ -62,6 +62,7 @@ def get_lib():
         ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
     ]
     lib.dbg_scan2.restype = ctypes.c_int64
     lib.dbg_scan2.argtypes = [

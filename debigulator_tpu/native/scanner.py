@@ -46,6 +46,7 @@ def _scan_raw(data: bytes, produce_output: bool, cell_bits: int = 0):
     cs_ptr = cp_ptr = None
     max_cells = 0
     n_cells = ctypes.c_int64(0)
+    mct = ctypes.c_int32(0)
 
     def _alloc_cells():
         # Every block is padded to a cell boundary, so the bound must grow
@@ -78,6 +79,7 @@ def _scan_raw(data: bytes, produce_output: bool, cell_bits: int = 0):
             cp_ptr,
             max_cells,
             ctypes.byref(n_cells),
+            ctypes.byref(mct),
         )
         if nb == -3 and produce_output:
             out_cap *= 4
@@ -100,7 +102,8 @@ def _scan_raw(data: bytes, produce_output: bool, cell_bits: int = 0):
         break
     cells = None
     if cell_bits:
-        cells = (cell_states[: n_cells.value], cell_pend[: n_cells.value])
+        cells = (cell_states[: n_cells.value], cell_pend[: n_cells.value],
+                 int(mct.value))
     return int(nb), blocks, lengths, out_buf, int(out_size.value), cells
 
 
@@ -222,7 +225,8 @@ def scan_stream_records(data: bytes, cell_bits: int):
         else:
             lens.append((lengths[i * 320 : i * 320 + 288].copy(),
                          lengths[i * 320 + 288 : i * 320 + 320].copy()))
-    cells = (cell_states[: n_cells.value], cell_pend[: n_cells.value])
+    cells = (cell_states[: n_cells.value], cell_pend[: n_cells.value],
+             int(mct.value))
     recs = {
         "m_pos": m_pos[: n_m.value].copy(),
         "m_meta": m_meta[: n_m.value].copy(),

@@ -320,3 +320,18 @@ def adler32_jnp(buf, length=None):
     s1 = (jnp.uint32(1) + _modsum(vals % mod)) % mod
     s2 = (ln % mod + _modsum(terms)) % mod
     return (s2 << jnp.uint32(16)) | s1
+
+
+def adler32_device(buf) -> int:
+    """Adler-32 of an on-device byte buffer (int32/uint8 values 0-255);
+    the only host transfer is the 4-byte result."""
+    import jax.numpy as jnp
+
+    return int(adler32_jnp(jnp.asarray(buf)))
+
+
+def crc32_device(buf) -> int:
+    """CRC-32 of an on-device byte buffer; 4-byte result readback."""
+    import jax.numpy as jnp
+
+    return int(crc32_jnp(jnp.asarray(buf)))

@@ -118,6 +118,9 @@ class PlanV3:
     #: for every cell (no fixpoint needed); False = speculative mode.
     exact_entries: bool = False
     cell_pend: np.ndarray | None = None
+    #: True when `slots` is the scanner's exact per-cell token bound —
+    #: tape overflow is impossible and no device probe is needed.
+    slots_exact: bool = False
 
 
 def _make_litlen_aug_table() -> np.ndarray:
@@ -249,10 +252,18 @@ def build_plan_v3(data: bytes, blocks: list[BlockInfo], block_lengths,
         # Trailing padding cells inherit the last block id so cell_block
         # stays monotone (required by the paged symbol lookup).
         cell_block[cells_used:] = comp_blocks[-1]
+    slots_exact = False
     if cells is not None:
         # Exact scanner-recorded entries: one per used cell; -1 = no code
         # starts in the cell (its lane stays inactive).
-        states, pends = cells
+        if len(cells) == 3:
+            states, pends, mct = cells
+            # Scanner-exact tape bound: no overflow probe needed (mct == 0
+            # means a token-free stream — any slot count is a valid bound).
+            slots = next(s for s in (8, 16, 32, 64, 128) if s >= max(mct, 1))
+            slots_exact = True
+        else:
+            states, pends = cells
         exact = True
         used = len(states)
         cell_entry[:used] = states.astype(np.int64)
@@ -284,6 +295,7 @@ def build_plan_v3(data: bytes, blocks: list[BlockInfo], block_lengths,
         slots=slots,
         exact_entries=exact,
         cell_pend=cell_pend,
+        slots_exact=slots_exact,
     )
 
 
@@ -1116,10 +1128,15 @@ def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS,
-                      force_pallas: bool | None = None,
-                      scanned=None) -> bytes:
-    """Full v3 device inflate of one raw DEFLATE stream.
+def inflate_device_v3_dev(data: bytes, slots: int = DEFAULT_SLOTS,
+                          force_pallas: bool | None = None,
+                          scanned=None):
+    """Device inflate returning the ON-DEVICE byte buffer.
+
+    Returns (body, out_size): body is a flat int32 device array (one byte
+    per element, >= out_size long).  Downstream device consumers (PNG
+    unfilter, device checksums) keep working on it without a host
+    round-trip; `inflate_device_v3` wraps this with a single readback.
 
     scanned: optional pre-computed (blocks, lengths, cells) from
     scan_stream_cells so container codecs that already indexed the stream
@@ -1135,8 +1152,7 @@ def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS,
     if plan.first_state == TERMINAL:  # stored-only stream
         out = np.zeros(plan.out_size, np.uint8)
         out[plan.stored_pos] = plan.stored_val
-        return out.tobytes()
-    arrays = plan_arrays_v3(plan)
+        return jnp.asarray(out.astype(np.int32)), plan.out_size
     exact = plan.exact_entries
     use_pallas = (
         force_pallas if force_pallas is not None else _use_pallas()
@@ -1145,25 +1161,25 @@ def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS,
 
     if use_pallas and exact:
         # Flagship device-resident path for ANY output size: Pallas Phase A
-        # (on-chip Huffman decode) + segmented Phase B.
+        # (on-chip Huffman decode, v13 op/lit tapes) + op-walk Phase B.
         from debigulator_tpu.ops.phase_a_pallas import build_pa_arrays
 
         pa = build_pa_arrays(plan)
         if pa is not None:
+            arrays7 = plan_arrays_v7(plan)
             n_seg = _round_pow2(max(1, -(-plan.out_size // SEG_BYTES)), 1)
             interp = jax.default_backend() == "cpu"
-            body, overflow = _inflate_v7_jit(
-                pa, arrays, plan.slots, n_seg, plan.num_cells,
-                interpret=interp,
+            body, overflow = _inflate_v13_jit(
+                pa, arrays7, plan.slots, n_seg, interpret=interp,
             )
-            if bool(overflow):
-                body, overflow = _inflate_v7_jit(
-                    pa, arrays, CELL_BITS, n_seg, plan.num_cells,
-                    interpret=interp,
+            if not plan.slots_exact and bool(overflow):
+                body, overflow = _inflate_v13_jit(
+                    pa, arrays7, CELL_BITS, n_seg, interpret=interp,
                 )
                 assert not bool(overflow)
-            return np.asarray(body[: plan.out_size]).astype(np.uint8).tobytes()
+            return body, plan.out_size
 
+    arrays = plan_arrays_v3(plan)
     if use_pallas and plan.out_size + lz.WINDOW + 512 <= lz.OUT_CAP + lz.WINDOW:
         out_rows = _round_pow2(
             -(-(plan.out_size + lz.PAD + lz.WINDOW + lz.MAXLEN + 512) // 128), 64
@@ -1180,9 +1196,8 @@ def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS,
                 exact=exact, interpret=interp,
             )
             assert not bool(overflow)
-        flat = np.asarray(out2d).reshape(-1)
         start = lz.PAD + lz.WINDOW
-        return flat[start : start + plan.out_size].astype(np.uint8).tobytes()
+        return out2d.reshape(-1)[start:], plan.out_size
     out_pad = _round_pow2(max(plan.out_size, 1), 256)
     out, overflow, sweeps = _inflate_v3_jit(
         arrays, plan.n_bits, plan.slots, out_pad, exact=exact
@@ -1193,4 +1208,128 @@ def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS,
             arrays, plan.n_bits, CELL_BITS, out_pad, exact=exact
         )
         assert not bool(overflow)
-    return np.asarray(out[: plan.out_size]).tobytes()
+    return out.astype(jnp.int32), plan.out_size
+
+
+def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS,
+                      force_pallas: bool | None = None,
+                      scanned=None) -> bytes:
+    """Full v3 device inflate of one raw DEFLATE stream -> host bytes."""
+    body, out_size = inflate_device_v3_dev(
+        data, slots=slots, force_pallas=force_pallas, scanned=scanned
+    )
+    return np.asarray(body[:out_size]).astype(np.uint8).tobytes()
+
+
+def plan_arrays_v7(plan: PlanV3) -> dict:
+    """Minimal staged arrays for the device-resident pipelines (v7/v13).
+
+    The Pallas Phase A kernel gets everything else via build_pa_arrays;
+    Phase B needs only the per-cell stored-bytes offset and the (tiny)
+    stored-block bytes.  Shipping just these cuts per-batch host->device
+    staging ~4x vs plan_arrays_v3 (measured on the tunnel: staging was
+    ~2/3 of honest e2e time in BENCH r3 baseline).
+    """
+    return {
+        "bob_cell": jnp.asarray(
+            plan.block_out_base[plan.cell_block].astype(np.int32)
+        ),
+        "stored_pos": jnp.asarray(plan.stored_pos),
+        "stored_val": jnp.asarray(plan.stored_val),
+    }
+
+
+def resolve_ops_segmented_v13(ma, mb, ra, rb, lit, cnt, outlen, bob_cell,
+                              n_seg: int, stored_pos, stored_val,
+                              slots: int, interpret: bool = False):
+    """Phase B v13: segment scan over the op-walk kernel.
+
+    ma/mb/ra/rb/lit: (slots, cells_pad) from phase_a13_pallas;
+    cnt/outlen: (cells_pad,).  bob_cell: (num_cells,) stored-bytes offset
+    per cell.
+    """
+    from debigulator_tpu.ops import lz77_pallas as lz
+
+    cells_pad = ma.shape[1]
+    cpr = 128 // slots
+    chunk_cells = max(128, lz.V13_MLIST_CAP // slots)
+
+    cl = outlen.astype(jnp.int32)
+    bob = jnp.pad(bob_cell.astype(jnp.int32),
+                  (0, cells_pad - bob_cell.shape[0]))
+    cum = jnp.cumsum(cl)
+    cbase = bob + cum - cl
+    cell_end = cbase + cl
+
+    offs = jnp.arange(n_seg, dtype=jnp.int32) * SEG_BYTES
+    lo = jnp.searchsorted(cell_end, offs, side="right").astype(jnp.int32)
+    hi = jnp.searchsorted(cbase, offs + SEG_BYTES, side="left").astype(jnp.int32)
+
+    # Cell-major rows + one chunk of slack so chunk DMA windows stay
+    # in bounds past the last live cell.
+    pad_rows = chunk_cells // cpr
+
+    def rows_of(t):  # (slots, cells_pad) -> (cells_pad*slots/128 + pad, 128)
+        r = t.T.reshape(-1, 128)
+        return jnp.pad(r, ((0, pad_rows), (0, 0)))
+
+    ma2d, mb2d = rows_of(ma), rows_of(mb)
+    ra2d, rb2d = rows_of(ra), rows_of(rb)
+    lit2d = rows_of(lit)
+    pad_c = chunk_cells
+    cnt2d = jnp.pad(cnt.astype(jnp.int32), (0, pad_c)).reshape(-1, 128)
+    cbase2d = jnp.pad(cbase, (0, pad_c)).reshape(-1, 128)
+
+    total = n_seg * SEG_BYTES
+    out_flat = jnp.zeros(total, jnp.int32)
+    if stored_val.shape[0]:
+        out_flat = out_flat.at[stored_pos].set(
+            stored_val.astype(jnp.int32), mode="drop"
+        )
+    body_seg = out_flat.reshape(n_seg, SEG_BYTES // 128, 128)
+
+    win_rows = lz.WINDOW // 128
+    pad = jnp.zeros((lz.PAD // 128, 128), jnp.int32)
+    slack = jnp.zeros((4, 128), jnp.int32)
+
+    def seg_step(tail, inp):
+        seg_body, lo_s, hi_s, off_s = inp
+        init = jnp.concatenate([pad, tail, seg_body, slack], axis=0)
+        out2d = lz.resolve_ops_v13(
+            init, ma2d, mb2d, ra2d, rb2d, lit2d, cnt2d, cbase2d,
+            lo_s, hi_s, off_s, slots, interpret=interpret,
+        )
+        body = out2d[lz.PAD // 128 + win_rows : -4]
+        new_tail = out2d[-4 - win_rows : -4]
+        return new_tail, body
+
+    tail0 = jnp.zeros((win_rows, 128), jnp.int32)
+    _, outs = jax.lax.scan(seg_step, tail0, (body_seg, lo, hi, offs))
+    return outs.reshape(-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("slots", "n_seg", "interpret"),
+)
+def _inflate_v13_jit(pa, arrays, slots, n_seg, interpret=False):
+    """Flagship device-resident pipeline: v13 Phase A (match/run/lit
+    tapes) + op-walk Phase B — every Huffman symbol decodes ON CHIP; XLA
+    glue is one cells-sized cumsum + two searchsorteds (no token-granular
+    work).
+
+    Returns (body, overflow); overflow is False whenever plan.slots came
+    from the scanner's exact bound.
+    """
+    from debigulator_tpu.ops.phase_a_pallas import phase_a13_pallas
+
+    ma, mb, ra, rb, lit, cnt, outlen = phase_a13_pallas(
+        pa, slots, interpret=interpret
+    )
+    overflow = jnp.any(((cnt >> 8) > slots) | ((cnt & 0xFF) > slots))
+    body = resolve_ops_segmented_v13(
+        ma, mb, ra, rb, lit, cnt, outlen, arrays["bob_cell"], n_seg,
+        arrays["stored_pos"], arrays["stored_val"], slots,
+        interpret=interpret,
+    )
+    return body, overflow

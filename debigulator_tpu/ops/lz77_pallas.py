@@ -1366,3 +1366,257 @@ def resolve_tape_pallas(tape_np, counts_np, out_size: int,
     if outs:
         return np.concatenate(outs).astype(np.uint8)
     return np.zeros(0, np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# v13: op-tape Phase B — consumes Phase A's per-cell MATCH and RUN tapes
+# (one record per literal run / match) + dense per-cell literal rows,
+# instead of walking every token.  The two record types live in separate
+# tapes so both walk loops are BRANCHLESS; chunk DMAs issue in parallel.
+# Group resolve is v6's speculative groups-of-8 with a cheap conservative
+# clean test (min group dist >= group output span).
+# ---------------------------------------------------------------------------
+
+#: SMEM match-list capacity per chunk (chunk_cells = CAP // slots keeps
+#: the worst case — every slot a match — from overflowing the list).
+V13_MLIST_CAP = 8192
+
+
+def _op_kernel_v13(lim_ref, ma_hbm, mb_hbm, ra_hbm, rb_hbm, lit_hbm,
+                   cnt_hbm, cbase_hbm, init_ref, out_ref, *, slots: int):
+    """lim_ref: (3,) SMEM (cell_lo, cell_hi, seg_off).
+
+    ma/mb/ra/rb/lit_hbm: (CellsTot//cpr, 128) int32 cell-major rows
+    (record j of cell c at [c//cpr, (c%cpr)*slots + j]): ma = within-cell
+    dst offset, mb = len<<16|dist; ra = dst offset, rb = lit0<<16|run_len;
+    lit = literal byte j.  cnt_hbm: (CellsTot//128, 128) int32
+    match_cnt<<8|run_cnt; cbase_hbm: (CellsTot//128, 128) int32 global
+    output base per cell.  init_ref aliases out_ref.
+    """
+    del init_ref
+    cpr = 128 // slots
+    chunk_cells = max(128, V13_MLIST_CAP // slots)
+    mlist_cap = chunk_cells * slots
+    body_start = PAD + WINDOW
+    body_end = (out_ref.shape[0] - 4) * 128
+    cell_lo = lim_ref[0]
+    cell_hi = lim_ref[1]
+    seg_off = lim_ref[2]
+    base_adj = body_start - seg_off
+
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+    flat2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0) * 128 + lane2
+    flat4 = jax.lax.broadcasted_iota(jnp.int32, (SPAN_ROWS, 128), 0) * 128 + \
+        jax.lax.broadcasted_iota(jnp.int32, (SPAN_ROWS, 128), 1)
+
+    def body(lit_v, ma_s, mb_s, ra_s, rb_s, cnt_s, cbase_s,
+             mpos_s, mmeta_s, sems):
+        def copy_clipped(src, dst, length):
+            rp = dst & 127
+            data = _load_span4(out_ref, src - rp)
+            base_p = dst - rp
+            mask = (flat4 >= rp) & (flat4 < rp + length)
+            mask &= (flat4 + base_p >= body_start) & (flat4 + base_p < body_end)
+            pltpu.store(out_ref.at[pl.ds(dst >> 7, SPAN_ROWS), :], data,
+                        mask=mask)
+
+        def flush_matches(k_total):
+            """Group-resolve the first k_total entries of the SMEM list."""
+            def per_group(gi, _):
+                i0 = gi * GROUP
+                live = [(i0 + g) < k_total for g in range(GROUP)]
+                dsts = [jnp.where(lv, mpos_s[i0 + g], body_start)
+                        for g, lv in enumerate(live)]
+                # Dead lanes: len 0, dist huge (keeps the clean test hot).
+                metas = [jnp.where(lv, mmeta_s[i0 + g], 0xFFFF)
+                         for g, lv in enumerate(live)]
+                lens = [m >> 16 for m in metas]
+
+                # Conservative clean test: if every distance reaches
+                # beyond the group's whole output span, no source can
+                # overlap any destination of the group (also implies
+                # dist >= len for each member).  One min + one max chain
+                # instead of 28 pairwise interval checks.
+                min_dist = metas[0] & 0xFFFF
+                max_end = dsts[0] + lens[0]
+                min_dst = dsts[0]
+                for g in range(1, GROUP):
+                    min_dist = jnp.minimum(min_dist, metas[g] & 0xFFFF)
+                    max_end = jnp.maximum(max_end, dsts[g] + lens[g])
+                    min_dst = jnp.minimum(min_dst, dsts[g])
+                clean = min_dist >= (max_end - min_dst)
+
+                @pl.when(clean)
+                def _fast():
+                    datas = []
+                    for g in range(GROUP):
+                        rp = dsts[g] & 127
+                        src = dsts[g] - (metas[g] & 0xFFFF)
+                        datas.append(_load_span4(out_ref, src - rp))
+                    for g in range(GROUP):
+                        rp = dsts[g] & 127
+                        base_p = dsts[g] - rp
+                        mask = (flat4 >= rp) & (flat4 < rp + lens[g])
+                        mask &= (flat4 + base_p >= body_start) & \
+                                (flat4 + base_p < body_end)
+                        pltpu.store(
+                            out_ref.at[pl.ds(dsts[g] >> 7, SPAN_ROWS), :],
+                            datas[g], mask=mask)
+
+                @pl.when(jnp.logical_not(clean))
+                def _slow():
+                    def one(g, _):
+                        dst, meta = mpos_s[i0 + g], mmeta_s[i0 + g]
+                        length = jnp.where((i0 + g) < k_total, meta >> 16, 0)
+                        dist = meta & 0xFFFF
+
+                        @pl.when(length > 0)
+                        def _():
+                            src = dst - dist
+
+                            @pl.when(dist >= length)
+                            def _plain():
+                                copy_clipped(src, dst, length)
+
+                            @pl.when(dist < length)
+                            def _rle():
+                                n0 = jnp.minimum(dist, length)
+                                copy_clipped(src, dst, n0)
+
+                                def grow(r, avail):
+                                    @pl.when(avail < length)
+                                    def _():
+                                        n_new = jnp.minimum(
+                                            avail, length - avail)
+                                        copy_clipped(dst, dst + avail, n_new)
+                                    return jnp.minimum(avail * 2, length)
+
+                                jax.lax.fori_loop(0, 9, grow, n0)
+
+                        return 0
+
+                    jax.lax.fori_loop(0, GROUP, one, 0)
+
+                return 0
+
+            jax.lax.fori_loop(0, (k_total + GROUP - 1) // GROUP, per_group, 0)
+
+        def flush_run(cell_local, lit0, run_dst, run_len):
+            """Commit a literal run from the VMEM lit row (store masking
+            clips to the segment body range)."""
+            rowv = lit_v[pl.ds(cell_local // cpr, 1), :]
+            lane0 = (cell_local % cpr) * slots + lit0
+            rp = run_dst & 127
+            rolled = pltpu.roll(rowv, rp - lane0, axis=1)
+            vals = jnp.concatenate([rolled, rolled], axis=0)
+            base_p = run_dst - rp
+            mask = (flat2 >= rp) & (flat2 < rp + run_len)
+            mask &= (flat2 + base_p >= body_start) & \
+                    (flat2 + base_p < body_end)
+            pltpu.store(out_ref.at[pl.ds(run_dst >> 7, 2), :], vals,
+                        mask=mask)
+
+        def per_chunk(ci, _):
+            c0 = lo_al + ci * chunk_cells
+            copies = []
+            for i, (hbm, dst_s, rows) in enumerate((
+                (ma_hbm, ma_s, cpr), (mb_hbm, mb_s, cpr),
+                (ra_hbm, ra_s, cpr), (rb_hbm, rb_s, cpr),
+                (lit_hbm, lit_v, cpr),
+                (cnt_hbm, cnt_s, 128), (cbase_hbm, cbase_s, 128),
+            )):
+                copies.append(pltpu.make_async_copy(
+                    hbm.at[pl.ds(c0 // rows, chunk_cells // rows), :],
+                    dst_s, sems.at[i]))
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+
+            # Pass 1 — literal runs (no output reads: order-free).
+            def per_cell_runs(cl, _):
+                c = c0 + cl
+                inside = (c >= cell_lo) & (c < cell_hi)
+                cnt = jnp.where(inside, cnt_s[cl >> 7, cl & 127], 0)
+                cb = cbase_s[cl >> 7, cl & 127] + base_adj
+                lane_base = (cl % cpr) * slots
+                row = cl // cpr
+
+                def per_run(j, _):
+                    a = ra_s[row, lane_base + j]
+                    b = rb_s[row, lane_base + j]
+                    flush_run(cl, b >> 16, cb + a, b & 0xFFFF)
+                    return 0
+
+                jax.lax.fori_loop(0, cnt & 0xFF, per_run, 0)
+                return 0
+
+            jax.lax.fori_loop(0, chunk_cells, per_cell_runs, 0)
+
+            # Pass 2 — matches, in stream order (branchless append).
+            def per_cell_matches(cl, k):
+                c = c0 + cl
+                inside = (c >= cell_lo) & (c < cell_hi)
+                cnt = jnp.where(inside, cnt_s[cl >> 7, cl & 127], 0)
+                cb = cbase_s[cl >> 7, cl & 127] + base_adj
+                lane_base = (cl % cpr) * slots
+                row = cl // cpr
+
+                def per_match(j, k):
+                    dst = cb + ma_s[row, lane_base + j]
+                    b = mb_s[row, lane_base + j]
+                    # Head-clip (window-crossing replay at segment start).
+                    delta = jnp.maximum(body_start - dst, 0)
+                    eff = jnp.maximum((b >> 16) - delta, 0)
+                    keep = (eff > 0) & (dst < body_end)
+                    mpos_s[k] = dst + delta
+                    mmeta_s[k] = (eff << 16) | (b & 0xFFFF)
+                    return k + keep.astype(jnp.int32)
+
+                return jax.lax.fori_loop(0, cnt >> 8, per_match, k)
+
+            k = jax.lax.fori_loop(0, chunk_cells, per_cell_matches, 0)
+            flush_matches(k)
+            return 0
+
+        lo_al = (cell_lo // 128) * 128
+        n_chunks = (cell_hi - lo_al + chunk_cells - 1) // chunk_cells
+        jax.lax.fori_loop(0, n_chunks, per_chunk, 0)
+
+    rows_per_chunk = max(128, V13_MLIST_CAP // slots) // (128 // slots)
+    cc = max(128, V13_MLIST_CAP // slots)
+    pl.run_scoped(
+        body,
+        lit_v=pltpu.VMEM((rows_per_chunk, 128), jnp.int32),
+        ma_s=pltpu.SMEM((rows_per_chunk, 128), jnp.int32),
+        mb_s=pltpu.SMEM((rows_per_chunk, 128), jnp.int32),
+        ra_s=pltpu.SMEM((rows_per_chunk, 128), jnp.int32),
+        rb_s=pltpu.SMEM((rows_per_chunk, 128), jnp.int32),
+        cnt_s=pltpu.SMEM((cc // 128, 128), jnp.int32),
+        cbase_s=pltpu.SMEM((cc // 128, 128), jnp.int32),
+        mpos_s=pltpu.SMEM((cc * slots,), jnp.int32),
+        mmeta_s=pltpu.SMEM((cc * slots,), jnp.int32),
+        sems=pltpu.SemaphoreType.DMA((7,)),
+    )
+
+
+def resolve_ops_v13(out_init, ma2d, mb2d, ra2d, rb2d, lit2d, cnt2d, cbase2d,
+                    cell_lo, cell_hi, seg_off, slots: int,
+                    interpret: bool = False):
+    """One v13 segment resolve inside jit (same contract as
+    resolve_tape_v6 but split match/run tape inputs)."""
+    lim = jnp.stack([
+        jnp.asarray(cell_lo, jnp.int32),
+        jnp.asarray(cell_hi, jnp.int32),
+        jnp.asarray(seg_off, jnp.int32),
+    ])
+    return pl.pallas_call(
+        functools.partial(_op_kernel_v13, slots=slots),
+        out_shape=jax.ShapeDtypeStruct(out_init.shape, jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 7
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={8: 0},
+        interpret=interpret,
+    )(lim, ma2d, mb2d, ra2d, rb2d, lit2d, cnt2d, cbase2d, out_init)

@@ -84,19 +84,18 @@ def _rev15(x):
     return (x >> jnp.uint32(1)).astype(jnp.int32)
 
 
-def _phase_a_kernel(pb_ref, vw_ref, ent_ref, pend_ref, lb_ref, par_ref,
-                    llp_ref, dp_ref, tape_ref, cnt_ref,
-                    nl_s, ml_s, nd_s, md_s, *, slots: int):
-    """One tile: TC cells x 64 bit positions -> (slots, TC) tape rows.
+def _graph_to_scratch(vw_ref, lb_ref, par_ref, llp_ref, dp_ref,
+                      nl_s, ml_s, nd_s, md_s):
+    """Decode-graph part shared by both Phase A kernels.
 
     vw_ref: (3, TC) int32 — w0/w1 = the cell's 64 bits, w2 = 32-bit
-    lookahead.  ent_ref/pend_ref: (1, TC) exact local entry state (-1 =
-    no code starts here) and pending match length.  lb_ref: (1, TC)
-    page-local block id in [0, PAGE).  par_ref: (1, 96, PAGE) int32 param
-    page (rows: ll count/first/base then d count/first/base, 16 lengths
-    each).  llp_ref: (1, 3*PAGE, 288) int8 plane-major (row = k*PAGE + b);
-    dp_ref: (1, 3*PAGE, 32) int8 plane-major.  nl/ml/nd/md_s: (64, TC)
-    int32 VMEM scratch for the per-position transition rows.
+    lookahead.  lb_ref: (1, TC) page-local block id in [0, PAGE).
+    par_ref: (1, 96, PAGE) int32 param page (rows: ll count/first/base
+    then d count/first/base, 16 lengths each).  llp_ref: (1, 3*PAGE, 288)
+    int8 plane-major (row = k*PAGE + b); dp_ref: (1, 3*PAGE, 32) int8
+    plane-major.  Writes the per-position transition rows into the four
+    (64, TC) int32 VMEM scratch refs: nl=nxt_lit, ml=meta_lit,
+    nd=nxt_dist, md=meta_dist.
     """
     w0 = vw_ref[0:1, :].astype(jnp.uint32)
     w1 = vw_ref[1:2, :].astype(jnp.uint32)
@@ -210,6 +209,18 @@ def _phase_a_kernel(pb_ref, vw_ref, ent_ref, pend_ref, lb_ref, par_ref,
     ml_s[:] = meta_lit
     nd_s[:] = p + d_len + deb
     md_s[:] = (K_DIST << META_KIND_SHIFT) | (dbase + dextra)
+
+
+def _phase_a_kernel(pb_ref, vw_ref, ent_ref, pend_ref, lb_ref, par_ref,
+                    llp_ref, dp_ref, tape_ref, cnt_ref,
+                    nl_s, ml_s, nd_s, md_s, *, slots: int):
+    """One tile -> (slots, TC) token-tape rows (v6/v7 Phase B format).
+
+    ent_ref/pend_ref: (1, TC) exact local entry state (-1 = no code
+    starts here) and pending match length.
+    """
+    _graph_to_scratch(vw_ref, lb_ref, par_ref, llp_ref, dp_ref,
+                      nl_s, ml_s, nd_s, md_s)
 
     # --- chase: fori_loop over positions, dynamic scratch-row reads ---
     el = ent_ref[:]
@@ -388,3 +399,173 @@ def build_pa_arrays(plan) -> dict | None:
         "ll_planes": jnp.asarray(planes_of(plan.ll_aug, 288)),
         "d_planes": jnp.asarray(planes_of(plan.d_aug, 32)),
     }
+
+
+# ---------------------------------------------------------------------------
+# v13: Phase A emits OP + LITERAL tapes instead of a token tape.
+#
+# The v6 Phase B walks every token (lit/len/dist) through a scalar SMEM
+# loop — the dominant cost.  Here the chase does that bookkeeping while
+# it is already walking the chain VECTORIZED (cells on lanes): literal
+# bytes pack densely per cell into a lit tape, maximal literal runs and
+# matches become one op record each, and the per-cell output length comes
+# out as a lane vector (its cumsum on the XLA side replaces the old
+# token-granular cumsum).  Phase B then iterates ~2x fewer records with a
+# much lighter body (ops.lz77_pallas._op_kernel_v13).
+#
+# Op encoding: opa = within-cell output offset << 1 | is_match;
+#              opb = match ? (len << 16 | dist) : (lit0 << 16 | run_len).
+# ---------------------------------------------------------------------------
+
+
+def _phase_a13_kernel(pb_ref, vw_ref, ent_ref, pend_ref, lb_ref, par_ref,
+                      llp_ref, dp_ref,
+                      ma_ref, mb_ref, ra_ref, rb_ref, lit_ref,
+                      cnt_ref, outlen_ref,
+                      nl_s, ml_s, nd_s, md_s, *, slots: int):
+    """One tile -> per-cell MATCH and RUN tapes + dense literal rows.
+
+    Outputs: ma/mb (slots, TC) match records (ma = within-cell output
+    offset, mb = len<<16|dist), ra/rb (slots, TC) literal-run records
+    (ra = offset, rb = lit0<<16|run_len), lit (slots, TC) literal bytes,
+    cnt (1, TC) = match_count << 8 | run_count, outlen (1, TC) decoded
+    bytes of the cell.  Split tapes keep the Phase B walk branchless.
+    """
+    _graph_to_scratch(vw_ref, lb_ref, par_ref, llp_ref, dp_ref,
+                      nl_s, ml_s, nd_s, md_s)
+
+    el = ent_ref[:]
+    s_pos0 = jnp.where(el >= 0, el >> 1, INACTIVE)
+    s_mode0 = jnp.where(el >= 0, el & 1, 0)
+    pend0 = pend_ref[:]
+    z1 = jnp.zeros((1, TC), jnp.int32)
+    zs = jnp.zeros((slots, TC), jnp.int32)
+    iota_slots = jax.lax.broadcasted_iota(jnp.int32, (slots, 1), 0)
+
+    def step(pp, carry):
+        (s_pos, s_mode, pend, mc, rc, litc, cur,
+         run_dst, run_lit0, run_len, ma, mb, ra, rb, lit) = carry
+        here = s_pos == pp
+        mode_b = s_mode == 1
+        nl = nl_s[pl.ds(pp, 1), :]
+        ml = ml_s[pl.ds(pp, 1), :]
+        nd = nd_s[pl.ds(pp, 1), :]
+        md = md_s[pl.ds(pp, 1), :]
+        nx = jnp.where(mode_b, nd, nl)
+        mt = jnp.where(mode_b, md, ml)
+        kind = mt >> META_KIND_SHIFT
+        payload = mt & 0xFFFF
+        pd = (mt >> 16) & 0x1FF
+        emit_m = here & (kind == K_DIST)
+        emit_l = here & (kind == K_LIT)
+
+        # Close the open literal run when a match emits.
+        do_flush = emit_m & (run_len > 0)
+        upd = (iota_slots == rc) & do_flush
+        ra = jnp.where(upd, run_dst, ra)
+        rb = jnp.where(upd, (run_lit0 << 16) | run_len, rb)
+        rc = rc + do_flush.astype(jnp.int32)
+        # Match record (emitted match length = carried pending).
+        upd = (iota_slots == mc) & emit_m
+        ma = jnp.where(upd, cur, ma)
+        mb = jnp.where(upd, (pend << 16) | payload, mb)
+        mc = mc + emit_m.astype(jnp.int32)
+        # Literal byte -> dense lit row; open/extend the run.
+        upd = (iota_slots == litc) & emit_l
+        lit = jnp.where(upd, payload, lit)
+        fresh = emit_l & (run_len == 0)
+        run_dst = jnp.where(fresh, cur, run_dst)
+        run_lit0 = jnp.where(fresh, litc, run_lit0)
+        run_len = jnp.where(emit_m, 0, run_len + emit_l.astype(jnp.int32))
+        litc = litc + emit_l.astype(jnp.int32)
+        cur = cur + jnp.where(emit_m, pend, 0) + emit_l.astype(jnp.int32)
+
+        new_pend = jnp.where(kind == K_DIST, 0,
+                             jnp.where(pd > 0, pd, pend))
+        mo = ((kind == K_NONE) & (pd > 0)).astype(jnp.int32)
+        s_pos = jnp.where(here, nx, s_pos)
+        s_mode = jnp.where(here, jnp.where(mode_b, 0, mo), s_mode)
+        pend = jnp.where(here, new_pend, pend)
+        return (s_pos, s_mode, pend, mc, rc, litc, cur,
+                run_dst, run_lit0, run_len, ma, mb, ra, rb, lit)
+
+    (_, _, _, mc, rc, _, cur, run_dst, run_lit0, run_len,
+     ma, mb, ra, rb, lit) = jax.lax.fori_loop(
+        0, CELL_BITS, step,
+        (s_pos0, s_mode0, pend0, z1, z1, z1, z1, z1, z1, z1,
+         zs, zs, zs, zs, zs),
+    )
+    # Trailing literal run (chain ended inside/after the cell).
+    do_flush = run_len > 0
+    upd = (iota_slots == rc) & do_flush
+    ra = jnp.where(upd, run_dst, ra)
+    rb = jnp.where(upd, (run_lit0 << 16) | run_len, rb)
+    rc = rc + do_flush.astype(jnp.int32)
+
+    ma_ref[:] = ma
+    mb_ref[:] = mb
+    ra_ref[:] = ra
+    rb_ref[:] = rb
+    lit_ref[:] = lit
+    cnt_ref[:] = (mc << 8) | rc
+    outlen_ref[:] = cur
+
+
+def phase_a13_pallas(pa, slots: int, interpret: bool = False):
+    """Run the v13 Phase A kernel.  pa: dict from build_pa_arrays.
+
+    Returns (ma, mb, ra, rb, lit) each (slots, cells_pad) int32 plus
+    (cnt, outlen) each (cells_pad,) int32 — cnt = match_cnt<<8 | run_cnt.
+    """
+    n_tiles = pa["tile_pb"].shape[0]
+    cells_pad = n_tiles * TC
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((3, TC), lambda i, pb: (0, i)),
+            pl.BlockSpec((1, TC), lambda i, pb: (0, i)),
+            pl.BlockSpec((1, TC), lambda i, pb: (0, i)),
+            pl.BlockSpec((1, TC), lambda i, pb: (0, i)),
+            pl.BlockSpec((1, 96, PAGE), lambda i, pb: (pb[i], 0, 0)),
+            pl.BlockSpec(
+                (1, N_PLANES * PAGE, 288), lambda i, pb: (pb[i], 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, N_PLANES * PAGE, 32), lambda i, pb: (pb[i], 0, 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((slots, TC), lambda i, pb: (0, i)),
+            pl.BlockSpec((slots, TC), lambda i, pb: (0, i)),
+            pl.BlockSpec((slots, TC), lambda i, pb: (0, i)),
+            pl.BlockSpec((slots, TC), lambda i, pb: (0, i)),
+            pl.BlockSpec((slots, TC), lambda i, pb: (0, i)),
+            pl.BlockSpec((1, TC), lambda i, pb: (0, i)),
+            pl.BlockSpec((1, TC), lambda i, pb: (0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CELL_BITS, TC), jnp.int32),
+            pltpu.VMEM((CELL_BITS, TC), jnp.int32),
+            pltpu.VMEM((CELL_BITS, TC), jnp.int32),
+            pltpu.VMEM((CELL_BITS, TC), jnp.int32),
+        ],
+    )
+    ma, mb, ra, rb, lit, cnt, outlen = pl.pallas_call(
+        functools.partial(_phase_a13_kernel, slots=slots),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((slots, cells_pad), jnp.int32),
+            jax.ShapeDtypeStruct((slots, cells_pad), jnp.int32),
+            jax.ShapeDtypeStruct((slots, cells_pad), jnp.int32),
+            jax.ShapeDtypeStruct((slots, cells_pad), jnp.int32),
+            jax.ShapeDtypeStruct((slots, cells_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, cells_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, cells_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        pa["tile_pb"], pa["vwords"], pa["entry_local"], pa["pend"],
+        pa["lb"], pa["params"], pa["ll_planes"], pa["d_planes"],
+    )
+    return ma, mb, ra, rb, lit, cnt[0], outlen[0]

@@ -134,8 +134,11 @@ def unfilter_subfast(filtered, height: int, width: int, bpp: int):
     return out.reshape(h, w * bpp).astype(jnp.uint8)
 
 
-def unfilter_device(filtered, height: int, width: int, bpp: int) -> np.ndarray:
-    """Dispatching device unfilter (host inspects the filter-byte set)."""
+def unfilter_device(filtered, height: int, width: int, bpp: int,
+                    as_numpy: bool = True):
+    """Dispatching device unfilter (host inspects the filter-byte set —
+    an h-element readback).  as_numpy=False keeps the reconstructed rows
+    on device for downstream device consumers (RGBA expand, batch)."""
     filtered = jnp.asarray(filtered)
     fb = np.asarray(filtered.reshape(height, 1 + width * bpp)[:, 0])
     kinds = set(int(x) for x in np.unique(fb))
@@ -145,4 +148,4 @@ def unfilter_device(filtered, height: int, width: int, bpp: int) -> np.ndarray:
         out = unfilter_subfast(filtered, height, width, bpp)
     else:
         out = unfilter_wavefront(filtered, height, width, bpp)
-    return np.asarray(out)
+    return np.asarray(out) if as_numpy else out

@@ -195,6 +195,7 @@ def build_merged_plan(streams: list[bytes], records: bool = True,
         slots=max(p.slots for p in plans) if plans else v3.DEFAULT_SLOTS,
         exact_entries=exact,
         cell_pend=pad_cells(cell_pend_parts, 0).astype(np.int32),
+        slots_exact=bool(plans) and all(p.slots_exact for p in plans),
     )
     recs = None
     if have_recs:
@@ -206,6 +207,7 @@ def build_merged_plan(streams: list[bytes], records: bool = True,
         merged.slots = next(
             s for s in (16, 32, 64) if s >= max(max_cell_tokens, 1)
         )
+        merged.slots_exact = True
     return MergedPlan(plan=merged, out_offsets=out_offsets,
                       out_sizes=out_sizes, recs=recs)
 
@@ -397,13 +399,16 @@ def prepare_merged(mp: MergedPlan, interpret: bool | None = None,
             return run
 
     pa = build_pa_arrays(plan) if plan.exact_entries else None
-    arrays = v3.plan_arrays_v3(plan)
+    if pa is not None:
+        # Flagship v13: minimal staged arrays (bob_cell + stored bytes).
+        arrays = v3.plan_arrays_v7(plan)
+    else:
+        arrays = v3.plan_arrays_v3(plan)
 
     def call(slots: int):
         if pa is not None:
-            return v3._inflate_v7_jit(
-                pa, arrays, slots, n_seg, plan.num_cells,
-                interpret=interpret,
+            return v3._inflate_v13_jit(
+                pa, arrays, slots, n_seg, interpret=interpret,
             )
         return v3._inflate_v5_jit(
             arrays, plan.n_bits, slots, n_seg,
@@ -411,15 +416,17 @@ def prepare_merged(mp: MergedPlan, interpret: bool | None = None,
         )
 
     # Tape overflow is a property of the PLAN (slot bound vs densest cell),
-    # not of the data flowing through a given call — resolve it once here
-    # so steady-state calls never read the overflow flag back (a device
-    # round-trip per call on the tunnel).
+    # not of the data flowing through a given call.  With scanner-exact
+    # slots (plan.slots_exact) overflow is impossible and no device probe
+    # runs at all; otherwise resolve it once here so steady-state calls
+    # never read the overflow flag back (a device round-trip).
     slots = plan.slots
-    _, overflow = call(slots)
-    if bool(overflow):
-        slots = v3.CELL_BITS
+    if not plan.slots_exact:
         _, overflow = call(slots)
-        assert not bool(overflow), "tape overflow at the exact slot bound"
+        if bool(overflow):
+            slots = v3.CELL_BITS
+            _, overflow = call(slots)
+            assert not bool(overflow), "tape overflow at the exact slot bound"
 
     def run():
         body, _ = call(slots)

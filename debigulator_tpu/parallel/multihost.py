@@ -1,0 +1,171 @@
+"""Multi-host distribution layer (SURVEY §2.11 / §5.8).
+
+The comm backend is JAX/XLA: `jax.distributed.initialize` brings up the
+coordinator + DCN transport; inside a host, work shards over local chips
+via the same Mesh/shard_map machinery as single-host (ICI).  For a codec
+the natural multi-host axis is FILE/MEMBER-level data parallelism:
+
+  * every process decodes `streams[process_index::process_count]` as one
+    merged device call (parallel.merged);
+  * per-item status/sizes are exchanged with
+    `multihost_utils.process_allgather` (DCN) — the decode itself needs
+    NO cross-host communication (gzip members are independent), so
+    scaling efficiency is bounded only by the allgather + stragglers;
+  * outputs stay host-local (each host writes its own shard); the
+    manifest (ordered good/size table, SURVEY §5.4) is global.
+
+`python -m debigulator_tpu.parallel.multihost` self-spawns a 2-process
+CPU cluster (4 virtual devices each) and reports measured scaling
+efficiency vs the single-process run — the CI stand-in for the ≥80%
+BASELINE target until real multi-host slices are available.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Bring up jax.distributed from env vars or explicit args."""
+    import jax
+
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
+def decode_batch_multihost(streams: list[bytes]):
+    """Decode a global list of DEFLATE streams across all processes.
+
+    Every process receives the same list, decodes its interleaved shard
+    locally (one merged device call), and allgathers per-item (good,
+    size, crc32) rows so each host holds the full manifest.
+
+    Returns (local_outputs: dict index->bytes, manifest: (N, 3) int64
+    array [good, size, crc32] in stream order).
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    from debigulator_tpu.ops import checksum as ck
+    from debigulator_tpu.parallel.merged import decode_merged
+
+    pid = jax.process_index()
+    procs = jax.process_count()
+    mine = list(range(pid, len(streams), procs))
+    local: dict[int, bytes] = {}
+    manifest = np.zeros((len(streams), 3), np.int64)
+    if mine:
+        outs = decode_merged([streams[i] for i in mine])
+        for i, out in zip(mine, outs):
+            local[i] = out
+            manifest[i] = (1, len(out), ck.crc32(out))
+    gathered = multihost_utils.process_allgather(manifest)
+    # process_allgather stacks a leading process axis; rows are disjoint.
+    manifest = np.asarray(gathered).sum(axis=0)
+    return local, manifest
+
+
+# --------------------------------------------------------------------------
+# Self-test harness: 2-process CPU "cluster" + scaling-efficiency report.
+# --------------------------------------------------------------------------
+
+_PORT = 12807
+
+
+def _worker(pid: int, procs: int, n_dev: int) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_dev}"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", n_dev)
+    init_distributed(f"127.0.0.1:{_PORT}", procs, pid)
+    assert jax.process_count() == procs
+
+    streams, datas = _mk_streams()
+    t0 = time.time()
+    local, manifest = decode_batch_multihost(streams)
+    dt = time.time() - t0
+    for i, out in local.items():
+        assert out == datas[i], f"stream {i} mismatch on process {pid}"
+    assert (manifest[:, 0] == 1).all(), "manifest missing entries"
+    assert list(manifest[:, 1]) == [len(d) for d in datas]
+    print(f"proc {pid}/{procs}: {len(local)} streams in {dt*1e3:.0f} ms, "
+          f"manifest complete", flush=True)
+
+
+def _mk_streams(n: int = 8):
+    import zlib
+
+    rng = np.random.default_rng(11)
+    words = [b"multi ", b"host ", b"decode ", b"shard ", b"dcn "]
+    datas = [
+        b"".join(words[int(v) % 5] for v in rng.integers(0, 5, 6000 + 700 * i))
+        for i in range(n)
+    ]
+    streams = []
+    for d in datas:
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        streams.append(c.compress(d) + c.flush())
+    return streams, datas
+
+
+def main() -> int:
+    import subprocess
+
+    if os.environ.get("DBG_MH_WORKER"):
+        pid = int(os.environ["DBG_MH_WORKER"])
+        _worker(pid, int(os.environ["DBG_MH_PROCS"]),
+                int(os.environ["DBG_MH_DEV"]))
+        return 0
+
+    # Single-process baseline (8 devices) for the efficiency denominator.
+    env = dict(os.environ, DBG_MH_WORKER="0", DBG_MH_PROCS="1",
+               DBG_MH_DEV="8")
+    t0 = time.time()
+    r = subprocess.run([sys.executable, "-m",
+                        "debigulator_tpu.parallel.multihost"],
+                       env=env, capture_output=True, text=True, timeout=600)
+    t_single = time.time() - t0
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # 2-process cluster, 4 devices each (same 8 total).
+    procs = []
+    t0 = time.time()
+    for pid in range(2):
+        env = dict(os.environ, DBG_MH_WORKER=str(pid), DBG_MH_PROCS="2",
+                   DBG_MH_DEV="4")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "debigulator_tpu.parallel.multihost"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    outs = [p.communicate(timeout=600) for p in procs]
+    t_multi = time.time() - t0
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+        sys.stdout.write(so)
+    # Same total work on the same silicon: efficiency = t1 / t2 (>= 0.8
+    # means the distributed machinery — coordinator, DCN allgather,
+    # stragglers — costs < 25% on this emulation).
+    eff = t_single / max(t_multi, 1e-9)
+    print(f"MULTIHOST OK: single={t_single:.1f}s 2-proc={t_multi:.1f}s "
+          f"scaling_efficiency={eff:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

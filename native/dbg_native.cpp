@@ -259,7 +259,7 @@ static int64_t scan_impl(const uint8_t* data, uint64_t size,
                  int64_t cell_bits,
                  int64_t* cell_states, int32_t* cell_pend,
                  int64_t max_cells, int64_t* n_cells_ret,
-                 ScanRecs* recs) {
+                 ScanRecs* recs, int32_t* max_cell_tokens_ret = nullptr) {
   BitReader br{data, size, 0, false};
   int64_t nb = 0;
   uint64_t out_at = 0;
@@ -307,6 +307,22 @@ static int64_t scan_impl(const uint8_t* data, uint64_t size,
   // an already-recorded cell) is a single compare — no division.
   uint64_t rec_boundary = 0;
   uint64_t rec_block_ds = 0;  // current block's data_start_bit
+  // Exact per-cell token bound (cells mode): lets the device plan size
+  // its tape slots without an overflow probe (a device round trip).
+  int32_t mct = 0, tok_in_cell = 0;
+  uint64_t tok_boundary = 0;
+  uint64_t tok_block_ds = (uint64_t)-1;
+  auto count_token = [&](uint64_t cs, uint64_t ds2) {
+    if (!cells) return;
+    if (cs >= tok_boundary || ds2 != tok_block_ds) {
+      tok_in_cell = 0;
+      tok_block_ds = ds2;
+      uint64_t rel = cs - ds2;
+      tok_boundary = ds2 + (rel / (uint64_t)cell_bits + 1) * (uint64_t)cell_bits;
+    }
+    tok_in_cell++;
+    if (tok_in_cell > mct) mct = tok_in_cell;
+  };
   auto record = [&](uint64_t block_data_start, int mode, int32_t pending) -> int {
     if (!cells) return 0;
     if (br.bitpos < rec_boundary && block_data_start == rec_block_ds)
@@ -381,6 +397,7 @@ static int64_t scan_impl(const uint8_t* data, uint64_t size,
         int sym = decode_sym(br, lt);
         if (sym < 0) return -1;
         if (sym < 256) {
+          count_token(code_start, ds);
           if (track) {
             int64_t vc;
             int32_t s = cellslot(code_start, ds, &vc);
@@ -411,6 +428,7 @@ static int64_t scan_impl(const uint8_t* data, uint64_t size,
           int li = sym - 257;
           uint32_t length = kLenBase[li] + br.bits(kLenExtra[li]);
           if (record(ds, 1, (int32_t)length) < 0) return -4;
+          count_token(br.bitpos, ds);
           if (track) {
             if (flush_run() < 0) return -5;
             int64_t vc;
@@ -459,6 +477,7 @@ static int64_t scan_impl(const uint8_t* data, uint64_t size,
   }
   if (out_size_ret) *out_size_ret = out_at;
   if (n_cells_ret) *n_cells_ret = cell_filled;
+  if (max_cell_tokens_ret) *max_cell_tokens_ret = mct;
   return nb;
 }
 
@@ -469,10 +488,11 @@ int64_t dbg_scan(const uint8_t* data, uint64_t size,
                  uint64_t* out_size_ret,
                  int64_t cell_bits,
                  int64_t* cell_states, int32_t* cell_pend,
-                 int64_t max_cells, int64_t* n_cells_ret) {
+                 int64_t max_cells, int64_t* n_cells_ret,
+                 int32_t* max_cell_tokens_ret) {
   return scan_impl(data, size, blocks, max_blocks, lengths_buf, output,
                    out_cap, out_size_ret, cell_bits, cell_states, cell_pend,
-                   max_cells, n_cells_ret, nullptr);
+                   max_cells, n_cells_ret, nullptr, max_cell_tokens_ret);
 }
 
 // v8 scan: dbg_scan plus dense token records (see ScanRecs).

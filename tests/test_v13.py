@@ -1,0 +1,102 @@
+"""Flagship v13 pipeline tests (interpret mode): Phase A op/lit tapes +
+op-walk Phase B vs the zlib oracle.
+
+Covers: match-heavy text, RLE chains (slow-path doubling groups),
+literal-heavy fixed-Huffman streams, mixed stored/dynamic members,
+multi-segment outputs (> 512 KiB), merged multi-stream batches, and the
+scanner-exact slot bound (no overflow probe).
+"""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from debigulator_tpu.native import scanner as ns
+from debigulator_tpu.ops import inflate_v3 as v3
+from debigulator_tpu.ops.phase_a_pallas import build_pa_arrays
+from debigulator_tpu.ops.scanner import scan_stream_cells
+
+pytestmark = pytest.mark.skipif(
+    not ns.available(), reason="native library required"
+)
+
+
+def _deflate(data, level=6, strategy=zlib.Z_DEFAULT_STRATEGY):
+    c = zlib.compressobj(level, zlib.DEFLATED, -15, 9, strategy)
+    return c.compress(data) + c.flush()
+
+
+def _run_v13(stream: bytes) -> bytes:
+    blocks, lengths, cells = scan_stream_cells(stream, v3.CELL_BITS)
+    plan = v3.build_plan_v3(stream, blocks, lengths, cells=cells)
+    assert plan.slots_exact, "scanner must provide the exact slot bound"
+    if plan.first_state == v3.TERMINAL:
+        out = np.zeros(plan.out_size, np.uint8)
+        out[plan.stored_pos] = plan.stored_val
+        return out.tobytes()
+    pa = build_pa_arrays(plan)
+    assert pa is not None
+    a7 = v3.plan_arrays_v7(plan)
+    n_seg = v3._round_pow2(max(1, -(-plan.out_size // v3.SEG_BYTES)), 1)
+    body, ovf = v3._inflate_v13_jit(
+        pa, a7, plan.slots, n_seg, interpret=True
+    )
+    assert not bool(ovf), "overflow despite scanner-exact slots"
+    return np.asarray(body[: plan.out_size]).astype(np.uint8).tobytes()
+
+
+def test_text_small():
+    data = b"hello world hello hello world " * 60
+    assert _run_v13(_deflate(data)) == data
+
+
+def test_rle_chain():
+    data = b"a" * 5000 + b"bcd" * 700 + b"\x00" * 9000
+    assert _run_v13(_deflate(data)) == data
+
+
+def test_literal_heavy_fixed():
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 256, 60_000, dtype=np.uint8).tobytes()
+    assert _run_v13(_deflate(data, strategy=zlib.Z_FIXED)) == data
+
+
+def test_mixed_stored_dynamic():
+    rng = np.random.default_rng(3)
+    words = [b"alpha ", b"beta ", b"gamma ", b"delta "]
+    text = b"".join(words[int(v) % 4] for v in rng.integers(0, 4, 20_000))
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+    st = c.compress(text) + c.flush(zlib.Z_FULL_FLUSH)
+    c0 = zlib.compressobj(0, zlib.DEFLATED, -15)
+    st += c0.compress(b"STORED" * 2000) + c0.flush(zlib.Z_FULL_FLUSH)
+    c2 = zlib.compressobj(9, zlib.DEFLATED, -15)
+    st += c2.compress(text[::-1]) + c2.flush()
+    full = text + b"STORED" * 2000 + text[::-1]
+    assert _run_v13(st) == full
+
+
+@pytest.mark.slow
+def test_multi_segment_gzipsample(corpus_dir):
+    import gzip
+
+    raw = (corpus_dir / "gzipsample.gz").read_bytes()
+    from debigulator_tpu.models.gzip_codec import parse_gzip_members
+
+    m = parse_gzip_members(raw)[0]
+    assert _run_v13(raw[m.deflate_start : m.deflate_end]) == gzip.decompress(raw)
+
+
+@pytest.mark.slow
+def test_merged_batch_v13():
+    from debigulator_tpu.parallel.merged import decode_merged
+
+    rng = np.random.default_rng(4)
+    words = [b"merge ", b"batch ", b"op ", b"tape "]
+    datas = [
+        b"".join(words[int(v) % 4] for v in rng.integers(0, 4, 8000 + 500 * i))
+        for i in range(3)
+    ]
+    streams = [_deflate(d, level=1 + i) for i, d in enumerate(datas)]
+    outs = decode_merged(streams)
+    assert outs == datas

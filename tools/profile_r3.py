@@ -1,4 +1,4 @@
-"""Round-3 profile: v7 (device Phase A + v6 Phase B) vs v10 (host-fed) on the chip."""
+"""Round-3 profile: flagship v13 (device PA op-tapes + op-walk PB) breakdown."""
 from __future__ import annotations
 import sys, time
 import numpy as np
@@ -7,8 +7,8 @@ setup_jax_cache()
 import jax, jax.numpy as jnp
 from debigulator_tpu.models.gzip_codec import parse_gzip_members
 from debigulator_tpu.ops import inflate_v3 as v3
-from debigulator_tpu.ops.phase_a_pallas import build_pa_arrays, phase_a_pallas
-from debigulator_tpu.parallel.merged import build_merged_plan, build_v9_arrays
+from debigulator_tpu.ops.phase_a_pallas import build_pa_arrays, phase_a13_pallas
+from debigulator_tpu.parallel.merged import build_merged_plan, prepare_merged
 
 _probe = jax.jit(lambda x: x.reshape(-1)[:8])
 def sync(r):
@@ -28,42 +28,34 @@ def main():
     raw = open("/root/reference/resources/gzipsample.gz", "rb").read()
     m = parse_gzip_members(raw)[0]
     stream = raw[m.deflate_start:m.deflate_end]
+    import gzip as pg
+    expected = pg.decompress(raw)
     for K in ks:
         t0 = time.time()
-        mp = build_merged_plan([stream]*K)
+        mp = build_merged_plan([stream]*K, records=False)
         t_scan = (time.time()-t0)*1e3
         plan = mp.plan
         n_seg = v3._round_pow2(max(1, -(-plan.out_size // v3.SEG_BYTES)), 1)
-        pa = build_pa_arrays(plan)
-        arrays = v3.plan_arrays_v3(plan)
-        slots = plan.slots
-        print(f"K={K} out={plan.out_size/1e6:.2f}MB cells={plan.num_cells} slots={slots} n_seg={n_seg} host_prep={t_scan:.0f}ms", flush=True)
-
-        # Phase A alone
-        pa_jit = jax.jit(lambda pa: phase_a_pallas(pa, slots), static_argnames=())
-        t_pa = bench_fn(lambda: pa_jit(pa))
-        print(f"  phase A (pallas) : {t_pa:8.2f} ms", flush=True)
-
-        # full v7
-        t_v7 = bench_fn(lambda: v3._inflate_v7_jit(pa, arrays, slots, n_seg, plan.num_cells))
-        gbps = plan.out_size/1e9/(t_v7/1e3)
-        print(f"  v7 full (PA+PBv6): {t_v7:8.2f} ms  -> {gbps:.3f} GB/s", flush=True)
-
-        # v10 (host-fed) for comparison
         t0 = time.time()
-        v9 = build_v9_arrays(mp, n_seg)
-        t_v9 = (time.time()-t0)*1e3
-        sp = jnp.asarray(plan.stored_pos); sv = jnp.asarray(plan.stored_val)
-        t_v10 = bench_fn(lambda: v3._inflate_v10_jit(v9, sp, sv, n_seg))
-        print(f"  v10 (host-fed)   : {t_v10:8.2f} ms (+{t_v9:.0f}ms host v9prep) -> {plan.out_size/1e9/(t_v10/1e3):.3f} GB/s dev", flush=True)
+        pa = build_pa_arrays(plan)
+        a7 = v3.plan_arrays_v7(plan)
+        sync(pa["vwords"])  # force staging
+        t_stage = (time.time()-t0)*1e3
+        slots = plan.slots
+        print(f"K={K} out={plan.out_size/1e6:.2f}MB cells={plan.num_cells} slots={slots} n_seg={n_seg} host={t_scan:.0f}ms stage={t_stage:.0f}ms", flush=True)
 
-        # bit-exactness of v7
-        import gzip as pg
-        expected = pg.decompress(raw)
-        body, ovf = v3._inflate_v7_jit(pa, arrays, slots, n_seg, plan.num_cells)
+        pa_jit = jax.jit(lambda pa: phase_a13_pallas(pa, slots))
+        t_pa = bench_fn(lambda: pa_jit(pa))
+        print(f"  phase A13 alone  : {t_pa:8.2f} ms", flush=True)
+
+        t_full = bench_fn(lambda: v3._inflate_v13_jit(pa, a7, slots, n_seg))
+        gbps = plan.out_size/1e9/(t_full/1e3)
+        print(f"  v13 full (PA+PB) : {t_full:8.2f} ms -> {gbps:.3f} GB/s device", flush=True)
+
+        body, ovf = v3._inflate_v13_jit(pa, a7, slots, n_seg)
         got = np.asarray(body[:plan.out_size]).astype(np.uint8)
         ok = all(got[o:o+s].tobytes() == expected for o, s in zip(mp.out_offsets, mp.out_sizes))
-        print(f"  v7 bit-exact: {ok} overflow={bool(ovf)}", flush=True)
+        print(f"  bit-exact: {ok} overflow={bool(ovf)}", flush=True)
 
 if __name__ == "__main__":
     main()
