@@ -109,6 +109,18 @@ def inner(backend: str) -> None:
         e2e_dt = (time.time() - t0) / reps
         e2e_gbps = out_bytes / e2e_dt / 1e9
 
+        # Pipelined e2e: same fresh-stream work per rep, but device sync
+        # only at the end — host prep + h2d staging of batch i+1 overlap
+        # the device decode of batch i (the production steady state).
+        t0 = time.time()
+        last = None
+        for _ in range(reps):
+            mp_i = build_merged_plan(streams, records=False)
+            last = prepare_merged(mp_i)()
+        np.asarray(probe(last))
+        e2e_pipe_dt = (time.time() - t0) / reps
+        e2e_pipe_gbps = out_bytes / e2e_pipe_dt / 1e9
+
         # Device-side throughput: plan staged once, pipelined dispatch.
         reps_d = 5
         t0 = time.time()
@@ -160,6 +172,7 @@ def inner(backend: str) -> None:
             "batch": K,
             "distinct_streams": True,
             "e2e_gbps": round(e2e_gbps, 5),
+            "e2e_pipelined_gbps": round(e2e_pipe_gbps, 5),
             "device_gbps": round(dev_gbps, 5),
             "e2e_ms_per_stream": round(e2e_dt * 1e3 / K, 2),
             "device_ms_per_stream": round(dev_dt * 1e3 / K, 2),
@@ -167,9 +180,9 @@ def inner(backend: str) -> None:
             "single_stream_ms": round(single_ms, 1),
             "compile_warm_s": round(compile_s, 1),
             "sync": "per-rep device sync (e2e); pipelined (device_gbps)",
-            "pipeline": "v7 device-resident: Pallas Phase A (on-chip "
-                        "Huffman) + segmented Pallas LZ77; host = "
-                        "O(blocks+cells) scan",
+            "pipeline": "v13 device-resident: Pallas Phase A (on-chip "
+                        "Huffman -> match/run/lit tapes) + segmented "
+                        "Pallas op-walk LZ77; host = O(blocks+cells) scan",
             "bit_exact": True,
         })
         if png_mbps is not None:

@@ -24,6 +24,22 @@ from debigulator_tpu.ops.unfilter_device import unfilter_device
 from debigulator_tpu.utils.logging import PhaseLog
 
 
+def _expand_rgb_jit(recon, h, w):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("h", "w"))
+    def f(r, h, w):
+        r3 = r.reshape(h, w, 3)
+        return jnp.concatenate(
+            [r3, jnp.full((h, w, 1), 255, r3.dtype)], axis=2
+        )
+
+    return f(recon, h, w)
+
+
 def decode_gzip_device(data, verify: bool = True) -> bytes:
     """gzip decode with all DEFLATE work on device (multi-member)."""
     data = memoryview(data)
@@ -100,12 +116,9 @@ def decode_png_device(data, verify_crc: bool = True, verify_adler: bool = True):
     if ct == C.PNG_COLOR_RGBA:
         rgba = np.asarray(recon).reshape(info.height, info.width, 4)
     elif ct == C.PNG_COLOR_RGB:
-        # Device expand: append the alpha plane before the single readback.
-        r3 = recon.reshape(info.height, info.width, 3)
-        rgba = np.asarray(jnp.concatenate(
-            [r3, jnp.full((info.height, info.width, 1), 255, r3.dtype)],
-            axis=2,
-        ))
+        # Device expand (one jitted dispatch): append the alpha plane
+        # before the single readback.
+        rgba = np.asarray(_expand_rgb_jit(recon, info.height, info.width))
     else:
         # Palette / gray corpus images are small: expand after readback.
         rgba = png_codec.expand_to_rgba(

@@ -322,16 +322,28 @@ def adler32_jnp(buf, length=None):
     return (s2 << jnp.uint32(16)) | s1
 
 
+_jit_cache = {}
+
+
+def _jitted(fn):
+    import jax
+
+    if fn not in _jit_cache:
+        _jit_cache[fn] = jax.jit(fn)
+    return _jit_cache[fn]
+
+
 def adler32_device(buf) -> int:
     """Adler-32 of an on-device byte buffer (int32/uint8 values 0-255);
-    the only host transfer is the 4-byte result."""
+    ONE jitted dispatch + a 4-byte result readback (an unjitted op chain
+    costs ~20 ms per dispatch through the dev tunnel)."""
     import jax.numpy as jnp
 
-    return int(adler32_jnp(jnp.asarray(buf)))
+    return int(_jitted(adler32_jnp)(jnp.asarray(buf)))
 
 
 def crc32_device(buf) -> int:
-    """CRC-32 of an on-device byte buffer; 4-byte result readback."""
+    """CRC-32 of an on-device byte buffer; one dispatch + 4-byte readback."""
     import jax.numpy as jnp
 
-    return int(crc32_jnp(jnp.asarray(buf)))
+    return int(_jitted(crc32_jnp)(jnp.asarray(buf)))

@@ -1548,7 +1548,7 @@ def _op_kernel_v13(lim_ref, ma_hbm, mb_hbm, ra_hbm, rb_hbm, lit_hbm,
                     flush_run(cl, b >> 16, cb + a, b & 0xFFFF)
                     return 0
 
-                jax.lax.fori_loop(0, cnt & 0xFF, per_run, 0)
+                jax.lax.fori_loop(0, (cnt >> 8) & 0xFF, per_run, 0)
                 return 0
 
             jax.lax.fori_loop(0, chunk_cells, per_cell_runs, 0)
@@ -1573,7 +1573,7 @@ def _op_kernel_v13(lim_ref, ma_hbm, mb_hbm, ra_hbm, rb_hbm, lit_hbm,
                     mmeta_s[k] = (eff << 16) | (b & 0xFFFF)
                     return k + keep.astype(jnp.int32)
 
-                return jax.lax.fori_loop(0, cnt >> 8, per_match, k)
+                return jax.lax.fori_loop(0, cnt >> 16, per_match, k)
 
             k = jax.lax.fori_loop(0, chunk_cells, per_cell_matches, 0)
             flush_matches(k)
@@ -1620,3 +1620,410 @@ def resolve_ops_v13(out_init, ma2d, mb2d, ra2d, rb2d, lit2d, cnt2d, cbase2d,
         input_output_aliases={8: 0},
         interpret=interpret,
     )(lim, ma2d, mb2d, ra2d, rb2d, lit2d, cnt2d, cbase2d, out_init)
+
+
+# ---------------------------------------------------------------------------
+# v14: compaction-once + lean group walk.
+#
+# v13 measured 6.7 ms/stream on chip, almost all of it scalar-core time in
+# the per-segment walk: every segment re-walked its cells, re-appended its
+# matches to SMEM, and paid per-cell loop overhead twice.  v14 moves all
+# of that OUT of the segment loop:
+#
+#   1. XLA glue (elementwise): globalize record values — match dst + cell
+#      base, run lit index -> flat lit address; per-cell dense offsets
+#      m_before/r_before from cumsums (chunk-row-aligned).
+#   2. ONE compaction kernel pass: per cell, roll its <=slots records from
+#      the cell-major tape rows to the known dense offset (no cursors, no
+#      appends — offsets are precomputed, cells are independent).
+#   3. XLA again: per-group-of-8 conservative clean bit (min dist >= group
+#      output span) ORed into member metas — the walk never computes it.
+#   4. Per segment: a double-buffered staged walk over the DENSE lists:
+#      groups of 8 matches resolve with all-loads-then-all-stores when the
+#      clean bit is set (the v12 fast shape), scalar fallback with RLE
+#      doubling otherwise; literal runs commit from a per-segment VMEM
+#      window of the lit tape.  No per-cell work at all.
+# ---------------------------------------------------------------------------
+
+#: Cells per compaction chunk.
+V14_CHUNK = 512
+#: Stage rows for the v14 walk (stage = V14_STAGE_ROWS * 128 records).
+V14_STAGE_ROWS = 8
+#: Group-clean flag = meta sign bit (bit 31); real metas keep len in
+#: bits 16-24, so flagged metas are simply negative.
+#: Walk lit VMEM window rows per segment (segment bytes / 128 + two
+#: boundary cells' worth of slack; must match inflate_v3.SEG_BYTES).
+V14_LIT_ROWS = (512 * 1024) // 128 + 260
+
+
+def _compact_kernel_v14(ma_hbm, mb_hbm, ra_hbm, rb_hbm, lit_hbm, cnt_hbm,
+                        moff_hbm, roff_hbm, loff_hbm,
+                        i0_, i1_, i2_, i3_, i4_,
+                        mdst_ref, mmeta_ref, rdst_ref, rmeta_ref, lit_ref,
+                        *, slots: int):
+    """Compact ALL per-cell record tapes into dense lists in ONE pass.
+
+    ma/mb/ra/rb/lit_hbm: (CellsTot//cpr, 128) cell-major rows (values
+    already globalized by XLA).  cnt_hbm: (CellsTot//128, 128) packed
+    counts (mc<<16 | rc<<8 | lc).  moff/roff/loff_hbm: per-cell dense
+    offsets.  Outputs are VMEM dense lists (aliased zero-init).
+    """
+    del i0_, i1_, i2_, i3_, i4_
+    cpr = 128 // slots
+    chunk = V14_CHUNK
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+    flat2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0) * 128 + lane2
+    n_cells_pad = cnt_hbm.shape[0] * 128
+
+    def body(ma_v, mb_v, ra_v, rb_v, lit_v, cnt_s, moff_s, roff_s, loff_s,
+             sems):
+        def per_chunk(ci, _):
+            c0 = ci * chunk
+            copies = []
+            for i, (hbm, dst, rows) in enumerate((
+                (ma_hbm, ma_v, cpr), (mb_hbm, mb_v, cpr),
+                (ra_hbm, ra_v, cpr), (rb_hbm, rb_v, cpr),
+                (lit_hbm, lit_v, cpr),
+                (cnt_hbm, cnt_s, 128), (moff_hbm, moff_s, 128),
+                (roff_hbm, roff_s, 128), (loff_hbm, loff_s, 128),
+            )):
+                copies.append(pltpu.make_async_copy(
+                    hbm.at[pl.ds(c0 // rows, chunk // rows), :], dst,
+                    sems.at[i]))
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+
+            def emit(src_v, dst_ref, cl, cnt, off):
+                lane_base = (cl % cpr) * slots
+                rp = off & 127
+                mask = (flat2 >= rp) & (flat2 < rp + cnt)
+                rowv = src_v[pl.ds(cl // cpr, 1), :]
+                rolled = pltpu.roll(rowv, rp - lane_base, axis=1)
+                vals = jnp.concatenate([rolled, rolled], axis=0)
+                pltpu.store(dst_ref.at[pl.ds(off >> 7, 2), :], vals,
+                            mask=mask)
+
+            def per_cell(cl, _):
+                cnt = cnt_s[cl >> 7, cl & 127]
+
+                @pl.when(cnt > 0)
+                def _():
+                    mc = cnt >> 16
+                    rc = (cnt >> 8) & 0xFF
+                    lc = cnt & 0xFF
+
+                    @pl.when(mc > 0)
+                    def _m():
+                        off = moff_s[cl >> 7, cl & 127]
+                        emit(ma_v, mdst_ref, cl, mc, off)
+                        emit(mb_v, mmeta_ref, cl, mc, off)
+
+                    @pl.when(rc > 0)
+                    def _r():
+                        off = roff_s[cl >> 7, cl & 127]
+                        emit(ra_v, rdst_ref, cl, rc, off)
+                        emit(rb_v, rmeta_ref, cl, rc, off)
+
+                    @pl.when(lc > 0)
+                    def _l():
+                        emit(lit_v, lit_ref, cl, lc,
+                             loff_s[cl >> 7, cl & 127])
+
+                return 0
+
+            jax.lax.fori_loop(0, chunk, per_cell, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_cells_pad // chunk, per_chunk, 0)
+
+    rows_c = V14_CHUNK // (128 // slots)
+    pl.run_scoped(
+        body,
+        ma_v=pltpu.VMEM((rows_c, 128), jnp.int32),
+        mb_v=pltpu.VMEM((rows_c, 128), jnp.int32),
+        ra_v=pltpu.VMEM((rows_c, 128), jnp.int32),
+        rb_v=pltpu.VMEM((rows_c, 128), jnp.int32),
+        lit_v=pltpu.VMEM((rows_c, 128), jnp.int32),
+        cnt_s=pltpu.SMEM((V14_CHUNK // 128, 128), jnp.int32),
+        moff_s=pltpu.SMEM((V14_CHUNK // 128, 128), jnp.int32),
+        roff_s=pltpu.SMEM((V14_CHUNK // 128, 128), jnp.int32),
+        loff_s=pltpu.SMEM((V14_CHUNK // 128, 128), jnp.int32),
+        sems=pltpu.SemaphoreType.DMA((9,)),
+    )
+
+
+def compact_v14(ma2d, mb2d, ra2d, rb2d, lit2d, cnt2d, moff2d, roff2d,
+                loff2d, nrows: int, nrows_lit: int, slots: int,
+                interpret: bool = False):
+    """Run the fused compaction pass -> five dense arrays."""
+    z = jnp.zeros((nrows, 128), jnp.int32)
+    zl = jnp.zeros((nrows_lit, 128), jnp.int32)
+    return pl.pallas_call(
+        functools.partial(_compact_kernel_v14, slots=slots),
+        out_shape=[
+            jax.ShapeDtypeStruct((nrows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nrows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nrows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nrows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nrows_lit, 128), jnp.int32),
+        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 9
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3, 13: 4},
+        interpret=interpret,
+    )(ma2d, mb2d, ra2d, rb2d, lit2d, cnt2d, moff2d, roff2d, loff2d,
+      z, z, z, z, zl)
+
+
+def _walk_kernel_v14(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
+                     lit_hbm, init_ref, out_ref, *, slots: int):
+    """One segment: dense-list walk (runs then matches).
+
+    lim_ref: (8,) SMEM = (m_lo, m_hi, r_lo, r_hi, seg_off, lit_row0,
+    lit_rows, 0).  mdst/mmeta: dense match lists (global dst; meta =
+    clean_bit | len<<16 | dist).  rdst/rmeta: dense run lists (global
+    dst; meta = lit_flat<<7 | run_len).  lit_hbm: (CellsTot*slots/128,
+    128) literal rows; rows [lit_row0, lit_row0+lit_rows) stage to VMEM.
+    """
+    del init_ref
+    m_lo = lim_ref[0]
+    m_hi = lim_ref[1]
+    r_lo = lim_ref[2]
+    r_hi = lim_ref[3]
+    seg_off = lim_ref[4]
+    lit_row0 = lim_ref[5]
+    body_start = PAD + WINDOW
+    body_end = (out_ref.shape[0] - 4) * 128
+    base_adj = body_start - seg_off
+
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+    flat2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0) * 128 + lane2
+    flat4 = jax.lax.broadcasted_iota(jnp.int32, (SPAN_ROWS, 128), 0) * 128 + \
+        jax.lax.broadcasted_iota(jnp.int32, (SPAN_ROWS, 128), 1)
+    stage_slots = V14_STAGE_ROWS * 128
+
+    def body(lit_v, dst_s, meta_s, sems, litsem):
+        nlit = lit_v.shape[0]
+        dd = pltpu.make_async_copy(
+            lit_hbm.at[pl.ds(lit_row0, nlit), :], lit_v, litsem)
+        dd.start()
+        dd.wait()
+
+        def copy_clipped(src, dst, length):
+            rp = dst & 127
+            data = _load_span4(out_ref, src - rp)
+            base_p = dst - rp
+            mask = (flat4 >= rp) & (flat4 < rp + length)
+            mask &= (flat4 + base_p >= body_start) & (flat4 + base_p < body_end)
+            pltpu.store(out_ref.at[pl.ds(dst >> 7, SPAN_ROWS), :], data,
+                        mask=mask)
+
+        def staged(pos_hbm, meta_hbm, lo, hi, grp):
+            n_stages = (hi - (lo & ~127) + stage_slots - 1) // stage_slots
+
+            def dma(si, b):
+                st = (lo >> 7) + si * V14_STAGE_ROWS
+                c1 = pltpu.make_async_copy(
+                    pos_hbm.at[pl.ds(st, V14_STAGE_ROWS), :],
+                    dst_s.at[b], sems.at[b, 0])
+                c2 = pltpu.make_async_copy(
+                    meta_hbm.at[pl.ds(st, V14_STAGE_ROWS), :],
+                    meta_s.at[b], sems.at[b, 1])
+                return c1, c2
+
+            @pl.when(n_stages > 0)
+            def _pro():
+                c1, c2 = dma(0, 0)
+                c1.start()
+                c2.start()
+
+            def per_stage(si, _):
+                def run_buf(b):
+                    c1, c2 = dma(si, b)
+                    c1.wait()
+                    c2.wait()
+                    n1, n2 = dma(si + 1, 1 - b)
+                    n1.start()
+                    n2.start()
+                    base = ((lo >> 7) + si * V14_STAGE_ROWS) * 128
+                    jax.lax.fori_loop(
+                        0, stage_slots // GROUP,
+                        lambda gi, _: grp(b, gi, base, lo, hi), 0)
+
+                @pl.when(si % 2 == 0)
+                def _e():
+                    run_buf(0)
+
+                @pl.when(si % 2 == 1)
+                def _o():
+                    run_buf(1)
+
+                return 0
+
+            jax.lax.fori_loop(0, n_stages, per_stage, 0)
+
+            @pl.when(n_stages > 0)
+            def _drain():
+                def drain_buf(b):
+                    c1, c2 = dma(n_stages, b)
+                    c1.wait()
+                    c2.wait()
+
+                @pl.when(n_stages % 2 == 0)
+                def _de():
+                    drain_buf(0)
+
+                @pl.when(n_stages % 2 == 1)
+                def _do():
+                    drain_buf(1)
+
+        # --- literal runs: order-free, no output reads ---
+        def run_group(b, gi, base, lo, hi):
+            i0 = gi * GROUP
+
+            @pl.when((base + i0 + GROUP > lo) & (base + i0 < hi))
+            def _():
+                row = i0 >> 7
+                l0 = i0 & 127
+
+                def one(g, _):
+                    live = (base + i0 + g >= lo) & (base + i0 + g < hi)
+                    dst = jnp.where(live, dst_s[b, row, l0 + g], 0)
+                    meta = jnp.where(live, meta_s[b, row, l0 + g], 0)
+                    rl = meta & 0x7F
+                    lf = (meta >> 7) - lit_row0 * 128
+
+                    @pl.when(rl > 0)
+                    def _c():
+                        d = dst + base_adj
+                        rp = d & 127
+                        lr = lf & 127
+                        # Dense-lit runs may cross a 128-lane row: 2-row
+                        # aligned read, then place at the dst phase.
+                        a = lit_v[pl.ds(lf >> 7, 2), :]
+                        ar = pltpu.roll(a, -lr, axis=1)
+                        lane1 = flat2[0:1]
+                        sv = jnp.where(lane1 < 128 - lr, ar[0:1], ar[1:2])
+                        rolled = pltpu.roll(sv, rp, axis=1)
+                        vals = jnp.concatenate([rolled, rolled], axis=0)
+                        base_p = d - rp
+                        mask = (flat2 >= rp) & (flat2 < rp + rl)
+                        mask &= (flat2 + base_p >= body_start) & \
+                                (flat2 + base_p < body_end)
+                        pltpu.store(out_ref.at[pl.ds(d >> 7, 2), :], vals,
+                                    mask=mask)
+
+                    return 0
+
+                jax.lax.fori_loop(0, GROUP, one, 0)
+
+            return 0
+
+        staged(rdst_hbm, rmeta_hbm, r_lo, r_hi, run_group)
+
+        # --- matches: stream order, clean groups fast-path ---
+        def match_group(b, gi, base, lo, hi):
+            i0 = gi * GROUP
+
+            @pl.when((base + i0 + GROUP > lo) & (base + i0 < hi))
+            def _():
+                row = i0 >> 7
+                l0 = i0 & 127
+                m0 = meta_s[b, row, l0]
+
+                @pl.when(m0 < 0)
+                def _fast():
+                    ds, lens, datas = [], [], []
+                    for g in range(GROUP):
+                        live = (base + i0 + g >= lo) & (base + i0 + g < hi)
+                        dst = dst_s[b, row, l0 + g] + base_adj
+                        meta = jnp.where(live, meta_s[b, row, l0 + g], 0)
+                        ln = (meta >> 16) & 0x1FF
+                        # head/tail clip keeps every access in-buffer.
+                        delta = jnp.maximum(body_start - dst, 0)
+                        d2 = jnp.minimum(dst + delta, body_end)
+                        ln = jnp.where(dst < body_end,
+                                       jnp.maximum(ln - delta, 0), 0)
+                        src = d2 - (meta & 0xFFFF)
+                        rp = d2 & 127
+                        ds.append(d2)
+                        lens.append(ln)
+                        datas.append(_load_span4(out_ref, src - rp))
+                    for g in range(GROUP):
+                        rp = ds[g] & 127
+                        base_p = ds[g] - rp
+                        mask = (flat4 >= rp) & (flat4 < rp + lens[g])
+                        mask &= (flat4 + base_p < body_end)
+                        pltpu.store(
+                            out_ref.at[pl.ds(ds[g] >> 7, SPAN_ROWS), :],
+                            datas[g], mask=mask)
+
+                @pl.when(m0 >= 0)
+                def _slow():
+                    def one(g, _):
+                        live = (base + i0 + g >= lo) & (base + i0 + g < hi)
+                        dst = dst_s[b, row, l0 + g] + base_adj
+                        meta = jnp.where(live, meta_s[b, row, l0 + g], 0)
+                        ln = (meta >> 16) & 0x1FF
+                        dist = meta & 0xFFFF
+                        delta = jnp.maximum(body_start - dst, 0)
+                        d2 = jnp.minimum(dst + delta, body_end)
+                        ln = jnp.where(dst < body_end,
+                                       jnp.maximum(ln - delta, 0), 0)
+
+                        @pl.when(ln > 0)
+                        def _():
+                            src = d2 - dist
+
+                            @pl.when(dist >= ln)
+                            def _plain():
+                                copy_clipped(src, d2, ln)
+
+                            @pl.when(dist < ln)
+                            def _rle():
+                                n0 = jnp.minimum(dist, ln)
+                                copy_clipped(src, d2, n0)
+
+                                def grow(r, avail):
+                                    @pl.when(avail < ln)
+                                    def _():
+                                        n_new = jnp.minimum(avail, ln - avail)
+                                        copy_clipped(d2, d2 + avail, n_new)
+                                    return jnp.minimum(avail * 2, ln)
+
+                                jax.lax.fori_loop(0, 9, grow, n0)
+
+                        return 0
+
+                    jax.lax.fori_loop(0, GROUP, one, 0)
+
+            return 0
+
+        staged(mdst_hbm, mmeta_hbm, m_lo, m_hi, match_group)
+
+    pl.run_scoped(
+        body,
+        lit_v=pltpu.VMEM((V14_LIT_ROWS, 128), jnp.int32),
+        dst_s=pltpu.SMEM((2, V14_STAGE_ROWS, 128), jnp.int32),
+        meta_s=pltpu.SMEM((2, V14_STAGE_ROWS, 128), jnp.int32),
+        sems=pltpu.SemaphoreType.DMA((2, 2)),
+        litsem=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def resolve_walk_v14(out_init, lims, mdst, mmeta, rdst, rmeta, lit2d,
+                     slots: int, interpret: bool = False):
+    """One v14 segment walk inside jit.  lims: (8,) int32."""
+    return pl.pallas_call(
+        functools.partial(_walk_kernel_v14, slots=slots),
+        out_shape=jax.ShapeDtypeStruct(out_init.shape, jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={6: 0},
+        interpret=interpret,
+    )(lims, mdst, mmeta, rdst, rmeta, lit2d, out_init)

@@ -84,12 +84,14 @@ def _rev15(x):
     return (x >> jnp.uint32(1)).astype(jnp.int32)
 
 
-def _graph_to_scratch(vw_ref, lb_ref, par_ref, llp_ref, dp_ref,
+def _graph_to_scratch(cw_ref, par_ref, llp_ref, dp_ref,
                       nl_s, ml_s, nd_s, md_s):
     """Decode-graph part shared by both Phase A kernels.
 
-    vw_ref: (3, TC) int32 — w0/w1 = the cell's 64 bits, w2 = 32-bit
-    lookahead.  lb_ref: (1, TC) page-local block id in [0, PAGE).
+    cw_ref: (4, TC) int32 packed per-cell inputs — rows 0/1 = the cell's
+    64 bits, row 2 = 32-bit lookahead, row 3 = (entry_local+1) |
+    pend<<9 | page_local_block<<18 (ONE host->device array instead of
+    four: each staging transfer costs ~21 ms on the dev tunnel).
     par_ref: (1, 96, PAGE) int32 param page (rows: ll count/first/base
     then d count/first/base, 16 lengths each).  llp_ref: (1, 3*PAGE, 288)
     int8 plane-major (row = k*PAGE + b); dp_ref: (1, 3*PAGE, 32) int8
@@ -97,9 +99,9 @@ def _graph_to_scratch(vw_ref, lb_ref, par_ref, llp_ref, dp_ref,
     (64, TC) int32 VMEM scratch refs: nl=nxt_lit, ml=meta_lit,
     nd=nxt_dist, md=meta_dist.
     """
-    w0 = vw_ref[0:1, :].astype(jnp.uint32)
-    w1 = vw_ref[1:2, :].astype(jnp.uint32)
-    w2 = vw_ref[2:3, :].astype(jnp.uint32)
+    w0 = cw_ref[0:1, :].astype(jnp.uint32)
+    w1 = cw_ref[1:2, :].astype(jnp.uint32)
+    w2 = cw_ref[2:3, :].astype(jnp.uint32)
     p = jax.lax.broadcasted_iota(jnp.int32, (CELL_BITS, TC), 0)
     lo_half = p < 32
     a = jnp.where(lo_half, w0, w1)
@@ -110,7 +112,7 @@ def _graph_to_scratch(vw_ref, lb_ref, par_ref, llp_ref, dp_ref,
 
     # Per-cell decode params: ONE exact f32 matmul (96, PAGE) x (PAGE, TC)
     # against the block-selection one-hot (values < 2^24, single term).
-    lb = lb_ref[:]  # (1, TC)
+    lb = (cw_ref[3:4, :] >> 18) & 7  # (1, TC)
     iota_pg = jax.lax.broadcasted_iota(jnp.int32, (PAGE, TC), 0)
     ohb = (iota_pg == lb).astype(jnp.float32)  # (PAGE, TC)
     par = jax.lax.dot_general(
@@ -211,22 +213,18 @@ def _graph_to_scratch(vw_ref, lb_ref, par_ref, llp_ref, dp_ref,
     md_s[:] = (K_DIST << META_KIND_SHIFT) | (dbase + dextra)
 
 
-def _phase_a_kernel(pb_ref, vw_ref, ent_ref, pend_ref, lb_ref, par_ref,
+def _phase_a_kernel(pb_ref, cw_ref, par_ref,
                     llp_ref, dp_ref, tape_ref, cnt_ref,
                     nl_s, ml_s, nd_s, md_s, *, slots: int):
-    """One tile -> (slots, TC) token-tape rows (v6/v7 Phase B format).
-
-    ent_ref/pend_ref: (1, TC) exact local entry state (-1 = no code
-    starts here) and pending match length.
-    """
-    _graph_to_scratch(vw_ref, lb_ref, par_ref, llp_ref, dp_ref,
+    """One tile -> (slots, TC) token-tape rows (v6/v7 Phase B format)."""
+    _graph_to_scratch(cw_ref, par_ref, llp_ref, dp_ref,
                       nl_s, ml_s, nd_s, md_s)
 
     # --- chase: fori_loop over positions, dynamic scratch-row reads ---
-    el = ent_ref[:]
+    el = (cw_ref[3:4, :] & 0xFF) - 1
     s_pos0 = jnp.where(el >= 0, el >> 1, INACTIVE)
     s_mode0 = jnp.where(el >= 0, el & 1, 0)
-    pend0 = pend_ref[:]
+    pend0 = (cw_ref[3:4, :] >> 9) & 0x1FF
     cnt0 = jnp.zeros((1, TC), jnp.int32)
     tape0 = jnp.full((slots, TC), -1, jnp.int32)
     iota_slots = jax.lax.broadcasted_iota(jnp.int32, (slots, 1), 0)
@@ -279,10 +277,7 @@ def phase_a_pallas(pa, slots: int, interpret: bool = False):
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((3, TC), lambda i, pb: (0, i)),
-            pl.BlockSpec((1, TC), lambda i, pb: (0, i)),
-            pl.BlockSpec((1, TC), lambda i, pb: (0, i)),
-            pl.BlockSpec((1, TC), lambda i, pb: (0, i)),
+            pl.BlockSpec((4, TC), lambda i, pb: (0, i)),
             pl.BlockSpec((1, 96, PAGE), lambda i, pb: (pb[i], 0, 0)),
             pl.BlockSpec(
                 (1, N_PLANES * PAGE, 288), lambda i, pb: (pb[i], 0, 0)
@@ -311,8 +306,8 @@ def phase_a_pallas(pa, slots: int, interpret: bool = False):
         ],
         interpret=interpret,
     )(
-        pa["tile_pb"], pa["vwords"], pa["entry_local"], pa["pend"],
-        pa["lb"], pa["params"], pa["ll_planes"], pa["d_planes"],
+        pa["tile_pb"], pa["cellw"], pa["params"],
+        pa["ll_planes"], pa["d_planes"],
     )
     return tape_t.T, counts[0]
 
@@ -347,20 +342,18 @@ def build_pa_arrays(plan) -> dict | None:
     w0 = ww[0 : 2 * num_cells : 2]
     w1 = ww[1 : 2 * num_cells : 2]
     w2 = ww[2 : 2 * num_cells + 2 : 2]
-    vwords = np.zeros((3, cells_pad), np.int32)
-    vwords[0, :num_cells] = w0.view(np.int32)
-    vwords[1, :num_cells] = w1.view(np.int32)
-    vwords[2, :num_cells] = w2.view(np.int32)
+    cellw = np.zeros((4, cells_pad), np.int32)
+    cellw[0, :num_cells] = w0.view(np.int32)
+    cellw[1, :num_cells] = w1.view(np.int32)
+    cellw[2, :num_cells] = w2.view(np.int32)
 
-    entry_local = np.full((1, cells_pad), -1, np.int32)
+    entry_local = np.full(cells_pad, -1, np.int64)
     ent = plan.cell_entry
     idx = np.arange(num_cells, dtype=np.int64)
-    entry_local[0, :num_cells] = np.where(
-        ent >= 0, ent - idx * 2 * CELL_BITS, -1
-    ).astype(np.int32)
-    pend = np.zeros((1, cells_pad), np.int32)
+    entry_local[:num_cells] = np.where(ent >= 0, ent - idx * 2 * CELL_BITS, -1)
+    pend = np.zeros(cells_pad, np.int64)
     if plan.cell_pend is not None:
-        pend[0, :num_cells] = plan.cell_pend
+        pend[:num_cells] = plan.cell_pend
 
     n_pages = int(pb.max()) + 1
     gidx = (
@@ -389,12 +382,15 @@ def build_pa_arrays(plan) -> dict | None:
                 ).astype(np.int8)
         return out
 
+    # Row 3: packed (entry+1) | pend<<9 | page-local-block<<18 — ONE
+    # staged array for all per-cell inputs (tunnel transfers are ~21 ms
+    # each; see _graph_to_scratch).
+    cellw[3] = ((entry_local + 1) | (pend << 9)
+                | (lb.astype(np.int64) << 18)).astype(np.int32)
+
     return {
         "tile_pb": jnp.asarray(pb.astype(np.int32)),
-        "vwords": jnp.asarray(vwords),
-        "entry_local": jnp.asarray(entry_local),
-        "pend": jnp.asarray(pend),
-        "lb": jnp.asarray(lb.reshape(1, cells_pad).astype(np.int32)),
+        "cellw": jnp.asarray(cellw),
         "params": jnp.asarray(params),
         "ll_planes": jnp.asarray(planes_of(plan.ll_aug, 288)),
         "d_planes": jnp.asarray(planes_of(plan.d_aug, 32)),
@@ -418,7 +414,7 @@ def build_pa_arrays(plan) -> dict | None:
 # ---------------------------------------------------------------------------
 
 
-def _phase_a13_kernel(pb_ref, vw_ref, ent_ref, pend_ref, lb_ref, par_ref,
+def _phase_a13_kernel(pb_ref, cw_ref, par_ref,
                       llp_ref, dp_ref,
                       ma_ref, mb_ref, ra_ref, rb_ref, lit_ref,
                       cnt_ref, outlen_ref,
@@ -431,13 +427,13 @@ def _phase_a13_kernel(pb_ref, vw_ref, ent_ref, pend_ref, lb_ref, par_ref,
     cnt (1, TC) = match_count << 8 | run_count, outlen (1, TC) decoded
     bytes of the cell.  Split tapes keep the Phase B walk branchless.
     """
-    _graph_to_scratch(vw_ref, lb_ref, par_ref, llp_ref, dp_ref,
+    _graph_to_scratch(cw_ref, par_ref, llp_ref, dp_ref,
                       nl_s, ml_s, nd_s, md_s)
 
-    el = ent_ref[:]
+    el = (cw_ref[3:4, :] & 0xFF) - 1
     s_pos0 = jnp.where(el >= 0, el >> 1, INACTIVE)
     s_mode0 = jnp.where(el >= 0, el & 1, 0)
-    pend0 = pend_ref[:]
+    pend0 = (cw_ref[3:4, :] >> 9) & 0x1FF
     z1 = jnp.zeros((1, TC), jnp.int32)
     zs = jnp.zeros((slots, TC), jnp.int32)
     iota_slots = jax.lax.broadcasted_iota(jnp.int32, (slots, 1), 0)
@@ -489,7 +485,7 @@ def _phase_a13_kernel(pb_ref, vw_ref, ent_ref, pend_ref, lb_ref, par_ref,
         return (s_pos, s_mode, pend, mc, rc, litc, cur,
                 run_dst, run_lit0, run_len, ma, mb, ra, rb, lit)
 
-    (_, _, _, mc, rc, _, cur, run_dst, run_lit0, run_len,
+    (_, _, _, mc, rc, litc, cur, run_dst, run_lit0, run_len,
      ma, mb, ra, rb, lit) = jax.lax.fori_loop(
         0, CELL_BITS, step,
         (s_pos0, s_mode0, pend0, z1, z1, z1, z1, z1, z1, z1,
@@ -507,7 +503,7 @@ def _phase_a13_kernel(pb_ref, vw_ref, ent_ref, pend_ref, lb_ref, par_ref,
     ra_ref[:] = ra
     rb_ref[:] = rb
     lit_ref[:] = lit
-    cnt_ref[:] = (mc << 8) | rc
+    cnt_ref[:] = (mc << 16) | (rc << 8) | litc
     outlen_ref[:] = cur
 
 
@@ -515,7 +511,8 @@ def phase_a13_pallas(pa, slots: int, interpret: bool = False):
     """Run the v13 Phase A kernel.  pa: dict from build_pa_arrays.
 
     Returns (ma, mb, ra, rb, lit) each (slots, cells_pad) int32 plus
-    (cnt, outlen) each (cells_pad,) int32 — cnt = match_cnt<<8 | run_cnt.
+    (cnt, outlen) each (cells_pad,) int32 — cnt = match_cnt<<16 |
+    run_cnt<<8 | lit_cnt.
     """
     n_tiles = pa["tile_pb"].shape[0]
     cells_pad = n_tiles * TC
@@ -523,10 +520,7 @@ def phase_a13_pallas(pa, slots: int, interpret: bool = False):
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((3, TC), lambda i, pb: (0, i)),
-            pl.BlockSpec((1, TC), lambda i, pb: (0, i)),
-            pl.BlockSpec((1, TC), lambda i, pb: (0, i)),
-            pl.BlockSpec((1, TC), lambda i, pb: (0, i)),
+            pl.BlockSpec((4, TC), lambda i, pb: (0, i)),
             pl.BlockSpec((1, 96, PAGE), lambda i, pb: (pb[i], 0, 0)),
             pl.BlockSpec(
                 (1, N_PLANES * PAGE, 288), lambda i, pb: (pb[i], 0, 0)
@@ -565,7 +559,7 @@ def phase_a13_pallas(pa, slots: int, interpret: bool = False):
         ],
         interpret=interpret,
     )(
-        pa["tile_pb"], pa["vwords"], pa["entry_local"], pa["pend"],
-        pa["lb"], pa["params"], pa["ll_planes"], pa["d_planes"],
+        pa["tile_pb"], pa["cellw"], pa["params"],
+        pa["ll_planes"], pa["d_planes"],
     )
     return ma, mb, ra, rb, lit, cnt[0], outlen[0]

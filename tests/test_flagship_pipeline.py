@@ -1,5 +1,5 @@
-"""Flagship v13 pipeline tests (interpret mode): Phase A op/lit tapes +
-op-walk Phase B vs the zlib oracle.
+"""Flagship pipeline tests (interpret mode): Phase A match/run/lit tapes
++ compaction-once dense-list Phase B (v14) vs the zlib oracle.
 
 Covers: match-heavy text, RLE chains (slow-path doubling groups),
 literal-heavy fixed-Huffman streams, mixed stored/dynamic members,
@@ -62,6 +62,7 @@ def test_literal_heavy_fixed():
     assert _run_v13(_deflate(data, strategy=zlib.Z_FIXED)) == data
 
 
+@pytest.mark.slow
 def test_mixed_stored_dynamic():
     rng = np.random.default_rng(3)
     words = [b"alpha ", b"beta ", b"gamma ", b"delta "]

@@ -87,6 +87,7 @@ def test_v9_single_stream_levels(level):
     assert got == [data]
 
 
+@pytest.mark.slow
 def test_v9_batch_mixed():
     rng = random.Random(7)
     datas = [
@@ -120,6 +121,7 @@ def test_v9_stored_mixed_with_huffman():
     assert got == [data]
 
 
+@pytest.mark.slow
 def test_v9_segment_boundary_crossing():
     """Matches and runs crossing SEG_BYTES boundaries split correctly:
     output larger than one segment with matches straddling the edge."""
@@ -141,6 +143,7 @@ def test_v9_window_carry_across_segments():
     assert got == [data]
 
 
+@pytest.mark.slow
 def test_v9_gzipsample(corpus_dir):
     import gzip as pg
 

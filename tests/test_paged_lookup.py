@@ -49,6 +49,7 @@ def test_tile_page_map_rejects_dense_blocks():
     assert v3.tile_page_map(cb, 801) is None
 
 
+@pytest.mark.slow
 def test_merged_paged_decode_bit_exact():
     pytest.importorskip("jax")
     from debigulator_tpu.parallel.merged import build_merged_plan
@@ -71,6 +72,7 @@ def test_merged_paged_decode_bit_exact():
     assert got == b"".join(payloads)
 
 
+@pytest.mark.slow
 def test_v5_multi_segment_decode():
     """v6 Phase B across several 512 KiB output segments with window carry
     and non-128-aligned per-segment cell ranges."""

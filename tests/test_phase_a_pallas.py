@@ -39,6 +39,7 @@ def _streams():
 
 
 @pytest.mark.parametrize("case", list(_streams()), ids=lambda c: c[0])
+@pytest.mark.slow
 def test_tape_matches_xla(case):
     name, stream, _ = case
     plan = _plan_for(stream)
@@ -59,6 +60,7 @@ def test_tape_matches_xla(case):
 
 
 @pytest.mark.parametrize("case", list(_streams()), ids=lambda c: c[0])
+@pytest.mark.slow
 def test_v7_end_to_end(case):
     name, stream, expected = case
     if expected is None:

@@ -51,10 +51,12 @@ def test_emulated_2_shards_text():
     _check(_textish(100_000), 2)
 
 
+@pytest.mark.slow
 def test_emulated_4_shards_text():
     _check(_textish(150_000), 4)
 
 
+@pytest.mark.slow
 def test_rle_chain_forces_patch_rounds():
     """A stream-long RLE run taints every shard's tail: rounds == n-1."""
     from debigulator_tpu.parallel.split_stream import (
@@ -69,6 +71,7 @@ def test_rle_chain_forces_patch_rounds():
     assert decode_split_emulated(stream, 3, seg_bytes=SEG) == data
 
 
+@pytest.mark.slow
 def test_taint_decay_single_round():
     """Mostly-incompressible data: no taint chain reaches a shard tail,
     so one patch round suffices (and it still decodes bit-exact)."""
@@ -85,12 +88,14 @@ def test_taint_decay_single_round():
     assert decode_split_emulated(stream, 4, seg_bytes=SEG) == data
 
 
+@pytest.mark.slow
 def test_more_shards_than_output():
     """ADVICE r2 repro: shard_bytes rounding leaves trailing shards empty
     (real shards < n_shards); must not crash and must stay bit-exact."""
     _check(_textish(100_000), 6)
 
 
+@pytest.mark.slow
 def test_stored_blocks_at_boundaries():
     """Mix stored (level 0) and compressed chunks across shard bounds."""
     parts = [_textish(40_000, seed=1), b"\x00" * 30_000, _textish(40_000, 2)]
