@@ -148,8 +148,11 @@ def inner(backend: str) -> None:
 
         assert out_one == z.decompress(one, -15)
 
-        # PNG device decode (gimp_test anchor).
+        # PNG device decode: gimp_test (the README anchor) + a type-6
+        # Paeth-heavy fs_* image — the corpus classes the reference
+        # publishes timings for (BASELINE.md: 138 / ~46 MB/s).
         png_mbps = None
+        png_corpus_mbps = None
         try:
             from debigulator_tpu.models.pipeline import decode_png_device
 
@@ -163,6 +166,16 @@ def inner(backend: str) -> None:
             png_mbps = rgba.nbytes / png_dt / 1e6
             avg = rgba.reshape(-1, 4).mean(axis=0).round().astype(int)
             assert list(avg) in ([248, 249, 251, 158], [249, 249, 251, 158])
+
+            fs_raw = open(
+                "/root/reference/resources/fs_bridge.png", "rb"
+            ).read()
+            fs = decode_png_device(fs_raw)  # warm compile
+            t0 = time.time()
+            fs = decode_png_device(fs_raw)
+            rgba2 = decode_png_device(png_raw)
+            corpus_dt = time.time() - t0
+            png_corpus_mbps = (fs.nbytes + rgba2.nbytes) / corpus_dt / 1e6
         except Exception as e:  # noqa: BLE001
             detail["png_error"] = f"{type(e).__name__}: {e}"
 
@@ -188,6 +201,8 @@ def inner(backend: str) -> None:
         if png_mbps is not None:
             detail["png_mbps"] = round(png_mbps, 1)
             detail["png_vs_reference"] = round(png_mbps / PNG_BASELINE_MBPS, 2)
+        if png_corpus_mbps is not None:
+            detail["png_corpus_mbps"] = round(png_corpus_mbps, 1)
     except Exception as e:  # noqa: BLE001
         detail = {"error": f"{type(e).__name__}: {e}"}
     print(

@@ -31,6 +31,10 @@ def main(argv=None) -> int:
     d.add_argument("--host", action="store_true", help="host oracle path")
     d.add_argument("--repeat", type=int, default=1)
     d.add_argument("--no-verify", action="store_true")
+    d.add_argument("--trace", metavar="LOGDIR", nargs="?",
+                   const="/tmp/dbg_trace",
+                   help="capture a jax.profiler device trace around the "
+                        "steady-state decode and print the top ops")
     e = sub.add_parser("encode")
     e.add_argument("file")
     e.add_argument("-o", "--output")
@@ -57,6 +61,17 @@ def main(argv=None) -> int:
         t0 = time.time()
         out = fn()
         first = time.time() - t0
+        if getattr(args, "trace", None):
+            from debigulator_tpu.utils.profiling import (
+                device_trace,
+                trace_op_summary,
+            )
+
+            with device_trace(args.trace) as logdir:
+                out = fn()
+            sys.stderr.write(f"trace written to {logdir}; top ops:\n")
+            for ms, name in trace_op_summary(logdir, top=10):
+                sys.stderr.write(f"  {ms:9.2f} ms  {name}\n")
         if args.repeat > 1:
             t0 = time.time()
             for _ in range(args.repeat - 1):

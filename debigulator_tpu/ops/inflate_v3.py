@@ -1322,17 +1322,20 @@ def _inflate_v13_jit(pa, arrays, slots, n_seg, interpret=False):
     from the scanner's exact bound.
     """
     from debigulator_tpu.ops.phase_a_pallas import phase_a13_pallas
+    from debigulator_tpu.utils.profiling import named_scope
 
-    ma, mb, ra, rb, lit, cnt, outlen = phase_a13_pallas(
-        pa, slots, interpret=interpret
-    )
+    with named_scope("phase_a_huffman"):
+        ma, mb, ra, rb, lit, cnt, outlen = phase_a13_pallas(
+            pa, slots, interpret=interpret
+        )
     overflow = jnp.any(((cnt >> 16) > slots) | (((cnt >> 8) & 0xFF) > slots)
                        | ((cnt & 0xFF) > slots))
-    body = resolve_ops_segmented_v13(
-        ma, mb, ra, rb, lit, cnt, outlen, arrays["bob_cell"], n_seg,
-        arrays["stored_pos"], arrays["stored_val"], slots,
-        interpret=interpret,
-    )
+    with named_scope("phase_b_lz77"):
+        body = resolve_ops_segmented_v13(
+            ma, mb, ra, rb, lit, cnt, outlen, arrays["bob_cell"], n_seg,
+            arrays["stored_pos"], arrays["stored_val"], slots,
+            interpret=interpret,
+        )
     return body, overflow
 
 

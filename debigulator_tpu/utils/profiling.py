@@ -3,7 +3,8 @@
 The reference's observability is wall-clock printf (hellopng.c:210-236,
 build.sh:34 xctrace recipe).  Here: jax.profiler traces (Perfetto/
 TensorBoard) around any pipeline section, named scopes per phase, and a
-tiny wall-clock section timer for host code.
+trace summarizer used to attribute device time to ops.  (Host-side
+phase timing lives in utils.logging.PhaseLog.)
 """
 
 from __future__ import annotations
@@ -29,29 +30,6 @@ def named_scope(name: str):
     import jax
 
     return jax.named_scope(name)
-
-
-class SectionTimer:
-    """Host-side wall-clock phase timer with a summary string."""
-
-    def __init__(self):
-        self.sections: list[tuple[str, float]] = []
-
-    @contextlib.contextmanager
-    def section(self, name: str):
-        t0 = time.time()
-        try:
-            yield
-        finally:
-            self.sections.append((name, time.time() - t0))
-
-    def summary(self) -> str:
-        total = sum(dt for _, dt in self.sections)
-        lines = [
-            f"  {name:<24s} {dt * 1e3:8.1f} ms ({dt / total * 100:4.1f}%)"
-            for name, dt in self.sections
-        ]
-        return "\n".join(lines + [f"  {'total':<24s} {total * 1e3:8.1f} ms"])
 
 
 def trace_op_summary(logdir: str, top: int = 15) -> list[tuple[float, str]]:

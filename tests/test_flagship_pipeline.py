@@ -101,3 +101,22 @@ def test_merged_batch_v13():
     streams = [_deflate(d, level=1 + i) for i, d in enumerate(datas)]
     outs = decode_merged(streams)
     assert outs == datas
+
+
+def test_v14_experiment_matches_v13():
+    """The v14 Phase B experiment (compaction-once + dense-list walk)
+    stays bit-exact vs the flagship on a mixed stream."""
+    data = (b"experiment " * 900 + b"\x00" * 4000
+            + bytes(np.random.default_rng(9).integers(0, 256, 3000,
+                                                      dtype=np.uint8)))
+    stream = _deflate(data)
+    blocks, lengths, cells = scan_stream_cells(stream, v3.CELL_BITS)
+    plan = v3.build_plan_v3(stream, blocks, lengths, cells=cells)
+    pa = build_pa_arrays(plan)
+    a7 = v3.plan_arrays_v7(plan)
+    n_seg = v3._round_pow2(max(1, -(-plan.out_size // v3.SEG_BYTES)), 1)
+    body, ovf = v3._inflate_v14_jit(pa, a7, plan.slots, n_seg,
+                                    interpret=True)
+    assert not bool(ovf)
+    got = np.asarray(body[: plan.out_size]).astype(np.uint8).tobytes()
+    assert got == data
