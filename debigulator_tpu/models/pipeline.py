@@ -137,6 +137,10 @@ def decode_png_batch(datas: list[bytes], mesh=None, verify_crc: bool = True):
 
     This is the corpus bench path (BASELINE.json config 3): the batch is
     the unit of data parallelism, outputs return in input order.
+
+    Single-device batches route through the flagship merged pipeline
+    (one fused v13 device call for ALL IDAT streams); a mesh selects the
+    dp-sharded path instead.
     """
     from debigulator_tpu.parallel.batch import decode_batch_device
 
@@ -144,7 +148,16 @@ def decode_png_batch(datas: list[bytes], mesh=None, verify_crc: bool = True):
     for ch in parsed:
         parse_zlib_header(ch.idat)
     streams = [ch.idat[2:] for ch in parsed]
-    raws = decode_batch_device(streams, mesh=mesh)
+    if mesh is None:
+        from debigulator_tpu.ops.scanner import _get_native
+        from debigulator_tpu.parallel.merged import decode_merged
+
+        if _get_native() is not None:
+            raws = decode_merged(streams)
+        else:
+            raws = decode_batch_device(streams, mesh=None)
+    else:
+        raws = decode_batch_device(streams, mesh=mesh)
     images = []
     for ch, raw in zip(parsed, raws):
         info = ch.info

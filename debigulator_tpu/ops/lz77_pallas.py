@@ -1421,39 +1421,54 @@ def _op_kernel_v13(lim_ref, ma_hbm, mb_hbm, ra_hbm, rb_hbm, lit_hbm,
                         mask=mask)
 
         def flush_matches(k_total):
-            """Group-resolve the first k_total entries of the SMEM list."""
+            """Group-resolve the first k_total entries of the SMEM list.
+
+            Hazard policy: exact pairwise test for the full group of 8
+            (all-loads-then-all-stores when hazard-free); otherwise two
+            4-member halves run in order, each with its own exact test
+            (cross-half dependencies are satisfied by half ordering);
+            per-member sequential fallback (with RLE doubling) only for
+            a dirty half.  Text streams chain matches heavily (~35% of
+            consecutive 8-groups are hazard-free on gzipsample), so the
+            half path carries most of the dirty work.
+            """
             def per_group(gi, _):
                 i0 = gi * GROUP
                 live = [(i0 + g) < k_total for g in range(GROUP)]
                 dsts = [jnp.where(lv, mpos_s[i0 + g], body_start)
                         for g, lv in enumerate(live)]
-                # Dead lanes: len 0, dist huge (keeps the clean test hot).
-                metas = [jnp.where(lv, mmeta_s[i0 + g], 0xFFFF)
+                # Dead lanes: len 0 (no constraints, empty stores).
+                metas = [jnp.where(lv, mmeta_s[i0 + g], 0)
                          for g, lv in enumerate(live)]
                 lens = [m >> 16 for m in metas]
+                srcs = [d - (m & 0xFFFF) for d, m in zip(dsts, metas)]
 
-                # Conservative clean test: if every distance reaches
-                # beyond the group's whole output span, no source can
-                # overlap any destination of the group (also implies
-                # dist >= len for each member).  One min + one max chain
-                # instead of 28 pairwise interval checks.
-                min_dist = metas[0] & 0xFFFF
-                max_end = dsts[0] + lens[0]
-                min_dst = dsts[0]
-                for g in range(1, GROUP):
-                    min_dist = jnp.minimum(min_dist, metas[g] & 0xFFFF)
-                    max_end = jnp.maximum(max_end, dsts[g] + lens[g])
-                    min_dst = jnp.minimum(min_dst, dsts[g])
-                clean = min_dist >= (max_end - min_dst)
+                def pair_ok(g, i):
+                    hit = (srcs[g] < dsts[i] + lens[i]) & \
+                          (srcs[g] + lens[g] > dsts[i])
+                    return jnp.logical_not(
+                        hit & (lens[i] > 0) & (lens[g] > 0))
 
-                @pl.when(clean)
-                def _fast():
+                half_clean = []
+                for h in (0, 1):
+                    hc = jnp.bool_(True)
+                    for g in range(4 * h, 4 * h + 4):
+                        hc &= (dsts[g] - srcs[g]) >= lens[g]
+                        for i in range(4 * h, g):
+                            hc &= pair_ok(g, i)
+                    half_clean.append(hc)
+                cross = jnp.bool_(True)
+                for g in range(4, GROUP):
+                    for i in range(4):
+                        cross &= pair_ok(g, i)
+                clean = half_clean[0] & half_clean[1] & cross
+
+                def fast_span(lo_g, hi_g):
                     datas = []
-                    for g in range(GROUP):
+                    for g in range(lo_g, hi_g):
                         rp = dsts[g] & 127
-                        src = dsts[g] - (metas[g] & 0xFFFF)
-                        datas.append(_load_span4(out_ref, src - rp))
-                    for g in range(GROUP):
+                        datas.append(_load_span4(out_ref, srcs[g] - rp))
+                    for g in range(lo_g, hi_g):
                         rp = dsts[g] & 127
                         base_p = dsts[g] - rp
                         mask = (flat4 >= rp) & (flat4 < rp + lens[g])
@@ -1461,10 +1476,9 @@ def _op_kernel_v13(lim_ref, ma_hbm, mb_hbm, ra_hbm, rb_hbm, lit_hbm,
                                 (flat4 + base_p < body_end)
                         pltpu.store(
                             out_ref.at[pl.ds(dsts[g] >> 7, SPAN_ROWS), :],
-                            datas[g], mask=mask)
+                            datas[g - lo_g], mask=mask)
 
-                @pl.when(jnp.logical_not(clean))
-                def _slow():
+                def slow_range(lo_g, hi_g):
                     def one(g, _):
                         dst, meta = mpos_s[i0 + g], mmeta_s[i0 + g]
                         length = jnp.where((i0 + g) < k_total, meta >> 16, 0)
@@ -1495,7 +1509,22 @@ def _op_kernel_v13(lim_ref, ma_hbm, mb_hbm, ra_hbm, rb_hbm, lit_hbm,
 
                         return 0
 
-                    jax.lax.fori_loop(0, GROUP, one, 0)
+                    jax.lax.fori_loop(lo_g, hi_g, one, 0)
+
+                @pl.when(clean)
+                def _fast():
+                    fast_span(0, GROUP)
+
+                @pl.when(jnp.logical_not(clean))
+                def _by_half():
+                    for h, hc in enumerate(half_clean):
+                        @pl.when(hc)
+                        def _h_fast(h=h):
+                            fast_span(4 * h, 4 * h + 4)
+
+                        @pl.when(jnp.logical_not(hc))
+                        def _h_slow(h=h):
+                            slow_range(4 * h, 4 * h + 4)
 
                 return 0
 

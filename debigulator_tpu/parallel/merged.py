@@ -444,7 +444,7 @@ def decode_merged(streams: list[bytes]) -> list[bytes]:
     """Decode N streams in one fused device call; outputs in order."""
     import numpy as np
 
-    mp = build_merged_plan(streams)
+    mp = build_merged_plan(streams, records=False)
     if not mp.plan.exact_entries:
         raise RuntimeError("merged decode requires the native scanner")
     body = run_merged_plan(mp)

@@ -48,11 +48,11 @@ def main():
         t_pa = bench_fn(lambda: pa_jit(pa))
         print(f"  phase A13 alone    : {t_pa:8.2f} ms", flush=True)
 
-        t_full = bench_fn(lambda: v3._inflate_v14_jit(pa, a7, slots, n_seg))
+        t_full = bench_fn(lambda: v3._inflate_v13_jit(pa, a7, slots, n_seg))
         gbps = plan.out_size/1e9/(t_full/1e3)
-        print(f"  v13 full (PA+PB) : {t_full:8.2f} ms -> {gbps:.3f} GB/s device", flush=True)
+        print(f"  flagship v13 full : {t_full:8.2f} ms -> {gbps:.3f} GB/s device", flush=True)
 
-        body, ovf = v3._inflate_v14_jit(pa, a7, slots, n_seg)
+        body, ovf = v3._inflate_v13_jit(pa, a7, slots, n_seg)
         got = np.asarray(body[:plan.out_size]).astype(np.uint8)
         ok = all(got[o:o+s].tobytes() == expected for o, s in zip(mp.out_offsets, mp.out_sizes))
         print(f"  bit-exact: {ok} overflow={bool(ovf)}", flush=True)
