@@ -1224,16 +1224,14 @@ def inflate_device_v3(data: bytes, slots: int = DEFAULT_SLOTS,
 def plan_arrays_v7(plan: PlanV3) -> dict:
     """Minimal staged arrays for the device-resident pipelines (v7/v13).
 
-    The Pallas Phase A kernel gets everything else via build_pa_arrays;
-    Phase B needs only the per-cell stored-bytes offset and the (tiny)
-    stored-block bytes.  Shipping just these cuts per-batch host->device
-    staging ~4x vs plan_arrays_v3 (measured on the tunnel: staging was
-    ~2/3 of honest e2e time in BENCH r3 baseline).
+    The Pallas Phase A kernel gets everything else via build_pa_arrays
+    (incl. the per-cell stored-bytes offset as cellw row 4); only the
+    (tiny) stored-block bytes ship separately.  Shipping just these cuts
+    per-batch host->device staging ~5x vs plan_arrays_v3 (measured on
+    the tunnel: staging was ~2/3 of honest e2e time in BENCH r3
+    baseline).
     """
     return {
-        "bob_cell": jnp.asarray(
-            plan.block_out_base[plan.cell_block].astype(np.int32)
-        ),
         "stored_pos": jnp.asarray(plan.stored_pos),
         "stored_val": jnp.asarray(plan.stored_val),
     }
@@ -1332,7 +1330,7 @@ def _inflate_v13_jit(pa, arrays, slots, n_seg, interpret=False):
                        | ((cnt & 0xFF) > slots))
     with named_scope("phase_b_lz77"):
         body = resolve_ops_segmented_v13(
-            ma, mb, ra, rb, lit, cnt, outlen, arrays["bob_cell"], n_seg,
+            ma, mb, ra, rb, lit, cnt, outlen, pa["cellw"][4, :], n_seg,
             arrays["stored_pos"], arrays["stored_val"], slots,
             interpret=interpret,
         )
@@ -1482,7 +1480,7 @@ def _inflate_v14_jit(pa, arrays, slots, n_seg, interpret=False):
     overflow = jnp.any(((cnt >> 16) > slots) | (((cnt >> 8) & 0xFF) > slots)
                        | ((cnt & 0xFF) > slots))
     body = resolve_segmented_v14(
-        ma, mb, ra, rb, lit, cnt, outlen, arrays["bob_cell"], n_seg,
+        ma, mb, ra, rb, lit, cnt, outlen, pa["cellw"][4, :], n_seg,
         arrays["stored_pos"], arrays["stored_val"], slots,
         interpret=interpret,
     )

@@ -277,7 +277,7 @@ def phase_a_pallas(pa, slots: int, interpret: bool = False):
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((4, TC), lambda i, pb: (0, i)),
+            pl.BlockSpec((5, TC), lambda i, pb: (0, i)),
             pl.BlockSpec((1, 96, PAGE), lambda i, pb: (pb[i], 0, 0)),
             pl.BlockSpec(
                 (1, N_PLANES * PAGE, 288), lambda i, pb: (pb[i], 0, 0)
@@ -342,7 +342,7 @@ def build_pa_arrays(plan) -> dict | None:
     w0 = ww[0 : 2 * num_cells : 2]
     w1 = ww[1 : 2 * num_cells : 2]
     w2 = ww[2 : 2 * num_cells + 2 : 2]
-    cellw = np.zeros((4, cells_pad), np.int32)
+    cellw = np.zeros((5, cells_pad), np.int32)
     cellw[0, :num_cells] = w0.view(np.int32)
     cellw[1, :num_cells] = w1.view(np.int32)
     cellw[2, :num_cells] = w2.view(np.int32)
@@ -387,6 +387,12 @@ def build_pa_arrays(plan) -> dict | None:
     # each; see _graph_to_scratch).
     cellw[3] = ((entry_local + 1) | (pend << 9)
                 | (lb.astype(np.int64) << 18)).astype(np.int32)
+    # Row 4: per-cell stored-bytes offset — consumed by the Phase B glue
+    # (cellw[4]), not the kernel; riding the same transfer saves another
+    # ~21 ms + 2 MB h2d per batch.
+    cellw[4, :num_cells] = plan.block_out_base[plan.cell_block].astype(
+        np.int32
+    )
 
     return {
         "tile_pb": jnp.asarray(pb.astype(np.int32)),
@@ -520,7 +526,7 @@ def phase_a13_pallas(pa, slots: int, interpret: bool = False):
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((4, TC), lambda i, pb: (0, i)),
+            pl.BlockSpec((5, TC), lambda i, pb: (0, i)),
             pl.BlockSpec((1, 96, PAGE), lambda i, pb: (pb[i], 0, 0)),
             pl.BlockSpec(
                 (1, N_PLANES * PAGE, 288), lambda i, pb: (pb[i], 0, 0)
