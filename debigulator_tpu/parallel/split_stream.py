@@ -270,7 +270,7 @@ def decode_split_stream(stream: bytes, mesh=None, n_shards: int | None = None,
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from debigulator_tpu.parallel.mesh import make_mesh
 
