@@ -139,13 +139,10 @@ def inner(backend: str) -> None:
         from debigulator_tpu.ops.inflate_v3 import inflate_device_v3
 
         one = streams[0]
-        expected_one = pg.decompress(raw)
         inflate_device_v3(one)  # warm compile for the 1-stream shapes
         t0 = time.time()
         out_one = inflate_device_v3(one)
         single_ms = (time.time() - t0) * 1e3
-        import zlib as z
-
         assert out_one == z.decompress(one, -15)
 
         # PNG device decode: gimp_test (the README anchor) + a type-6

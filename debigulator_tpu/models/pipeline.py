@@ -24,20 +24,28 @@ from debigulator_tpu.ops.unfilter_device import unfilter_device
 from debigulator_tpu.utils.logging import PhaseLog
 
 
+_EXPAND_RGB = None
+
+
 def _expand_rgb_jit(recon, h, w):
-    import functools
+    # Module-level jit cache: a per-call jax.jit wrapper would re-trace
+    # and re-compile on EVERY image.
+    global _EXPAND_RGB
+    if _EXPAND_RGB is None:
+        import functools
 
-    import jax
-    import jax.numpy as jnp
+        import jax
+        import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("h", "w"))
-    def f(r, h, w):
-        r3 = r.reshape(h, w, 3)
-        return jnp.concatenate(
-            [r3, jnp.full((h, w, 1), 255, r3.dtype)], axis=2
-        )
+        @functools.partial(jax.jit, static_argnames=("h", "w"))
+        def f(r, h, w):
+            r3 = r.reshape(h, w, 3)
+            return jnp.concatenate(
+                [r3, jnp.full((h, w, 1), 255, r3.dtype)], axis=2
+            )
 
-    return f(recon, h, w)
+        _EXPAND_RGB = f
+    return _EXPAND_RGB(recon, h, w)
 
 
 def decode_gzip_device(data, verify: bool = True) -> bytes:
@@ -74,8 +82,9 @@ def decode_gzip_device(data, verify: bool = True) -> bytes:
                 raise GzipError("CRC-32 mismatch")
             plog.mark("crc")
         out_parts.append(out)
+        member_start = at
         at = end + 8
-        plog.done(member_bytes=end + 8 - at, out_bytes=len(out),
+        plog.done(member_bytes=at - member_start, out_bytes=len(out),
                   blocks=len(blocks), crc="ok" if verify else "skipped")
     return b"".join(out_parts)
 

@@ -1351,6 +1351,15 @@ def resolve_segmented_v14(ma, mb, ra, rb, lit, cnt, outlen, bob_cell,
     from debigulator_tpu.ops import lz77_pallas as lz
 
     cells_pad = ma.shape[1]
+    # Static capacity guards: the literal-address packing (lit_flat << 7)
+    # needs every dense index < 2^24, and the walk's per-segment lit VMEM
+    # window must cover SEG_BYTES (lz.V14_LIT_ROWS is a hardcoded twin).
+    from debigulator_tpu.ops import lz77_pallas as _lz
+
+    assert cells_pad * slots < (1 << 24), \
+        "v14 literal addressing overflows past 2^24 dense literals"
+    assert _lz.V14_LIT_ROWS >= SEG_BYTES // 128 + 260, \
+        "lz77_pallas.V14_LIT_ROWS out of sync with SEG_BYTES"
     mc = (cnt >> 16) & 0xFF
     rc = (cnt >> 8) & 0xFF
     lc = cnt & 0xFF
@@ -1390,9 +1399,6 @@ def resolve_segmented_v14(ma, mb, ra, rb, lit, cnt, outlen, bob_cell,
     # stage slack (static shapes; actual extents are m/r/l_total).
     cap_rows = cells_pad * slots // 128
     pad_rows = 2 * lz.V14_STAGE_ROWS + 2
-
-    def dense_rows(n):
-        return cap_rows + pad_rows if n is None else n
 
     mdst, mmeta, rdst, rmeta, litD = lz.compact_v14(
         rows_of(ma_g), rows_of(mb), rows_of(ra_g), rows_of(rb_g),

@@ -1389,8 +1389,8 @@ def _op_kernel_v13(lim_ref, ma_hbm, mb_hbm, ra_hbm, rb_hbm, lit_hbm,
     ma/mb/ra/rb/lit_hbm: (CellsTot//cpr, 128) int32 cell-major rows
     (record j of cell c at [c//cpr, (c%cpr)*slots + j]): ma = within-cell
     dst offset, mb = len<<16|dist; ra = dst offset, rb = lit0<<16|run_len;
-    lit = literal byte j.  cnt_hbm: (CellsTot//128, 128) int32
-    match_cnt<<8|run_cnt; cbase_hbm: (CellsTot//128, 128) int32 global
+    lit = literal byte j.  cnt_hbm: (CellsTot//128, 128) int32 packed
+    match_cnt<<16 | run_cnt<<8 | lit_cnt; cbase_hbm: (CellsTot//128, 128) int32 global
     output base per cell.  init_ref aliases out_ref.
     """
     del init_ref

@@ -322,12 +322,21 @@ def build_pa_arrays(plan) -> dict | None:
     cells_pad = -(-num_cells // TC) * TC
     n_tiles = cells_pad // TC
 
-    cb = np.zeros(cells_pad, np.int32)
-    cb[:num_cells] = plan.cell_block
-    cb[num_cells:] = plan.cell_block[-1] if num_cells else 0
+    cb_raw = np.zeros(cells_pad, np.int64)
+    cb_raw[:num_cells] = plan.cell_block
+    cb_raw[num_cells:] = plan.cell_block[-1] if num_cells else 0
 
-    # Page assignment: tile t uses page pb[t]; every cell's block must
-    # fall inside [PAGE_STRIDE*pb, PAGE_STRIDE*pb + PAGE).
+    # Cells only ever belong to COMPRESSED blocks, so page over their
+    # ordinals — stored blocks would otherwise inflate the id range and
+    # break the page-locality constraint (e.g. level-0 zlib emits a
+    # stored block per 64 KiB, pushing neighbor compressed blocks > PAGE
+    # ids apart).
+    comp = np.unique(cb_raw)
+    cb = np.searchsorted(comp, cb_raw).astype(np.int32)
+    ncb = len(comp)
+
+    # Page assignment: tile t uses page pb[t]; every cell's (ordinal)
+    # block must fall inside [PAGE_STRIDE*pb, PAGE_STRIDE*pb + PAGE).
     cb2 = cb.reshape(n_tiles, TC)
     pb = cb2.min(axis=1) // PAGE_STRIDE
     if np.any(cb2.max(axis=1) - pb * PAGE_STRIDE >= PAGE):
@@ -359,7 +368,8 @@ def build_pa_arrays(plan) -> dict | None:
     gidx = (
         np.arange(n_pages)[:, None] * PAGE_STRIDE + np.arange(PAGE)[None, :]
     )
-    gidx = np.clip(gidx, 0, nb - 1)  # (n_pages, PAGE)
+    # Ordinal -> original block id for table extraction.
+    gidx = comp[np.clip(gidx, 0, ncb - 1)]  # (n_pages, PAGE)
 
     params = np.zeros((n_pages, 96, PAGE), np.int32)
     for row0, tab in (
@@ -389,10 +399,14 @@ def build_pa_arrays(plan) -> dict | None:
                 | (lb.astype(np.int64) << 18)).astype(np.int32)
     # Row 4: per-cell stored-bytes offset — consumed by the Phase B glue
     # (cellw[4]), not the kernel; riding the same transfer saves another
-    # ~21 ms + 2 MB h2d per batch.
-    cellw[4, :num_cells] = plan.block_out_base[plan.cell_block].astype(
-        np.int32
-    )
+    # ~21 ms + 2 MB h2d per batch.  Tile-padding cells REPEAT the last
+    # real offset: with a 0 fill the glue's cbase/cell_end arrays would
+    # dip at the padding tail whenever stored blocks exist, breaking the
+    # searchsorted monotonicity that segment ranges depend on.
+    if num_cells:
+        bob = plan.block_out_base[plan.cell_block].astype(np.int32)
+        cellw[4, :num_cells] = bob
+        cellw[4, num_cells:] = bob[-1]
 
     return {
         "tile_pb": jnp.asarray(pb.astype(np.int32)),

@@ -298,7 +298,7 @@ def decode_split_stream(stream: bytes, mesh=None, n_shards: int | None = None,
         mesh=mesh,
         in_specs=(P("sp"), P("sp"), P("sp"), P("sp"), P()),
         out_specs=P("sp"),
-        check_rep=False,
+        check_vma=False,
     )
     def run(p1_s, pp_s, spos_s, sval_s, lit_r):
         p1_d = {k: v[0] for k, v in p1_s.items()}

@@ -120,3 +120,46 @@ def test_v14_experiment_matches_v13():
     assert not bool(ovf)
     got = np.asarray(body[: plan.out_size]).astype(np.uint8).tobytes()
     assert got == data
+
+
+def _stored_mix_stream(text_kb: int, stored_kb: int, tail_kb: int):
+    rng = np.random.default_rng(13)
+    words = [b"alpha ", b"beta ", b"gamma ", b"delta "]
+    t1 = b"".join(words[int(v) % 4]
+                  for v in rng.integers(0, 4, text_kb * 170))[: text_kb * 1024]
+    mid = rng.integers(0, 256, stored_kb * 1024, dtype=np.uint8).tobytes()
+    t2 = b"".join(words[int(v) % 4]
+                  for v in rng.integers(0, 4, tail_kb * 170))[: tail_kb * 1024]
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+    st = c.compress(t1) + c.flush(zlib.Z_FULL_FLUSH)
+    c0 = zlib.compressobj(0, zlib.DEFLATED, -15)
+    st += c0.compress(mid) + c0.flush(zlib.Z_FULL_FLUSH)
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+    st += c.compress(t2) + c.flush()
+    return st, t1 + mid + t2
+
+
+def test_segment_ranges_monotone_with_stored_blocks():
+    """Regression (r3 review): tile-padding cells must repeat the last
+    stored-offset — a zero fill made the glue's cbase/cell_end arrays
+    non-monotone whenever stored blocks exist, silently corrupting
+    searchsorted segment ranges on multi-segment outputs."""
+    st, data = _stored_mix_stream(40, 60, 40)
+    blocks, lengths, cells = scan_stream_cells(st, v3.CELL_BITS)
+    plan = v3.build_plan_v3(st, blocks, lengths, cells=cells)
+    pa = build_pa_arrays(plan)
+    bob = np.asarray(pa["cellw"])[4].astype(np.int64)
+    # Emulate the glue's cumsum on host: outlen of padding cells is 0, so
+    # monotonicity of bob alone (given non-decreasing decoded cum) is the
+    # invariant that matters.
+    assert (np.diff(bob) >= 0).all(), "cellw[4] stored offsets not monotone"
+    assert bob[-1] == bob[plan.num_cells - 1], "padding must repeat last bob"
+
+
+@pytest.mark.slow
+def test_multi_segment_with_stored_blocks():
+    """Full repro for the searchsorted regression: > one 512 KiB segment
+    AND large stored blocks in the same stream."""
+    st, data = _stored_mix_stream(300, 400, 300)
+    assert len(data) > v3.SEG_BYTES  # must span >= 2 segments
+    assert _run_v13(st) == data
