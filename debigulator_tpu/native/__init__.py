@@ -11,9 +11,11 @@ import ctypes
 import os
 import pathlib
 import subprocess
+import threading
 
 _LIB = None
 _TRIED = False
+_LOCK = threading.Lock()
 
 _SRC = pathlib.Path(__file__).resolve().parents[2] / "native" / "dbg_native.cpp"
 _SO = pathlib.Path(__file__).resolve().parent / "libdbg_native.so"
@@ -36,21 +38,35 @@ def _build() -> bool:
 
 
 def get_lib():
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable.
+
+    Thread-safe: concurrent first calls (e.g. the merged-plan scan pool)
+    block on the lock instead of observing the half-initialized state.
+    """
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
-    _TRIED = True
+    with _LOCK:
+        return _get_lib_locked()
+
+
+def _get_lib_locked():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
     if os.environ.get("DBG_NO_NATIVE"):
+        _TRIED = True
         return None
     if not _SO.exists() or (
         _SRC.exists() and _SRC.stat().st_mtime > _SO.stat().st_mtime
     ):
         if not _build():
+            _TRIED = True
             return None
     try:
         lib = ctypes.CDLL(str(_SO))
     except OSError:
+        _TRIED = True
         return None
     lib.dbg_scan.restype = ctypes.c_int64
     lib.dbg_scan.argtypes = [
@@ -99,4 +115,5 @@ def get_lib():
     lib.dbg_adler32.restype = ctypes.c_uint32
     lib.dbg_adler32.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32]
     _LIB = lib
+    _TRIED = True
     return _LIB

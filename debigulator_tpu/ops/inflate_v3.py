@@ -1128,6 +1128,16 @@ def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def flagship_jit():
+    """The flagship device-resident pipeline entry (v15 Phase B by
+    default; DBG_PHASE_B=v13 selects the previous generation)."""
+    import os
+
+    if os.environ.get("DBG_PHASE_B", "v15") == "v13":
+        return _inflate_v13_jit
+    return _inflate_v15_jit
+
+
 def inflate_device_v3_dev(data: bytes, slots: int = DEFAULT_SLOTS,
                           force_pallas: bool | None = None,
                           scanned=None):
@@ -1169,11 +1179,12 @@ def inflate_device_v3_dev(data: bytes, slots: int = DEFAULT_SLOTS,
             arrays7 = plan_arrays_v7(plan)
             n_seg = _round_pow2(max(1, -(-plan.out_size // SEG_BYTES)), 1)
             interp = jax.default_backend() == "cpu"
-            body, overflow = _inflate_v13_jit(
+            jit_fn = flagship_jit()
+            body, overflow = jit_fn(
                 pa, arrays7, plan.slots, n_seg, interpret=interp,
             )
             if not plan.slots_exact and bool(overflow):
-                body, overflow = _inflate_v13_jit(
+                body, overflow = jit_fn(
                     pa, arrays7, CELL_BITS, n_seg, interpret=interp,
                 )
                 assert not bool(overflow)
@@ -1337,6 +1348,33 @@ def _inflate_v13_jit(pa, arrays, slots, n_seg, interpret=False):
     return body, overflow
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("slots", "n_seg", "interpret"),
+)
+def _inflate_v15_jit(pa, arrays, slots, n_seg, interpret=False):
+    """Flagship device-resident pipeline, v15 Phase B: dense record
+    lists (vectorized compact kernel) + frontier-batched hazard-free
+    walk (scalar discovery pass, flat pipelined execution).  See
+    ops.phase_b_v15 for the design; Phase A is unchanged from v13.
+    """
+    from debigulator_tpu.ops.phase_a_pallas import phase_a13_pallas
+    from debigulator_tpu.ops.phase_b_v15 import resolve_segmented_v15
+    from debigulator_tpu.utils.profiling import named_scope
+
+    with named_scope("phase_a_huffman"):
+        ma, mb, ra, rb, lit, cnt, outlen = phase_a13_pallas(
+            pa, slots, interpret=interpret
+        )
+    overflow = jnp.any(((cnt >> 16) > slots) | (((cnt >> 8) & 0xFF) > slots)
+                       | ((cnt & 0xFF) > slots))
+    with named_scope("phase_b_lz77"):
+        body = resolve_segmented_v15(
+            ma, mb, ra, rb, lit, cnt, outlen, pa["cellw"][4, :], n_seg,
+            arrays["stored_pos"], arrays["stored_val"], slots, SEG_BYTES,
+            interpret=interpret,
+        )
+    return body, overflow
 
 
 def resolve_segmented_v14(ma, mb, ra, rb, lit, cnt, outlen, bob_cell,

@@ -1,0 +1,730 @@
+"""Phase B v15: dense record lists + frontier-batched hazard-free walk.
+
+The v13 op-walk (ops.lz77_pallas._op_kernel_v13) spent its time in three
+roughly equal parts (measured on v5e, K=29 gzipsample batch, BENCH r3
+decomposition): per-cell match extraction/append (~46 ms), literal-run
+flushes behind per-cell loops (~42 ms), and the group resolve with its
+exact hazard tests + half-split serial fallback (~79 ms; only 34.9% of
+consecutive groups-of-8 are hazard-free on text).  v15 removes all three:
+
+1. **Compact kernel** (`_compact_kernel`): one vectorized pass turns the
+   per-cell padded tapes from Phase A into dense, dst-sorted match and
+   run lists in HBM.  Per 128-lane tape row: validity mask -> in-row
+   ranks (log-roll prefix sum) -> source-lane-per-target via a one-hot
+   f32 MXU matmul -> lane dynamic_gather -> rolled 2-row masked append
+   at the running cursor.  Chunk regions are 128-row aligned; the ≤127
+   padding records per chunk carry (last_dst, meta=0) so the dense dst
+   array stays monotone (padding acts as len-0 no-ops downstream).
+
+2. **Frontier-batched walk** (`_walk_kernel`): matches execute in
+   *provably hazard-free batches* instead of hazard-checked groups.
+   With matches dst-sorted and literals/stored bytes pre-placed, once
+   every match before index p is resolved, all output bytes below
+   F = dst[p] are resolved; every subsequent match g with
+   req_g = src_g + len_g <= F reads only resolved data AND satisfies
+   dist >= len (src+len <= F <= dst).  So a batch = the maximal prefix
+   [p, q) with req <= F — its members need no hazard test, no ordering,
+   and no RLE handling (measured on gzipsample: mean batch 5.8, 51% of
+   matches in batches >= 8).  Violators start the next batch; a match
+   whose own req exceeds its dst (dist < len, 1.1% on text) forms a
+   singleton handled by the RLE-doubling serial path.  Batch discovery
+   is vectorized (one compare + min-reduce over a 2-row window of the
+   precomputed req vector).  Boundary matches (window replay at segment
+   start, clipping at segment end) run in serial prologue/epilogue
+   loops, keeping the hot loop clip-free.
+
+Literal runs flush from a sliding VMEM window of the Phase A lit tape
+(run records carry their global lit row; rows are visited monotonically).
+
+Reference behavior being replaced: the serial symbol loop + overlap copy
+of inflate.c:1697-1909 / :1861-1897.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAD = 128
+WINDOW = 32768
+WIN_ROWS = WINDOW // 128
+SPAN_ROWS = 4
+GROUP = 8
+BIG = 1 << 30
+
+#: Cells per compact-kernel chunk (input rows/chunk = CHUNK_CELLS*slots/128).
+#: Matches phase_a_pallas.TC so cells_pad always divides evenly.
+CHUNK_CELLS = 512
+#: Walk: SMEM-resident match rows per sub-range (records = SUB_ROWS*128).
+SUB_ROWS = 256
+#: Walk: run rows per sub-range.
+RUN_SUB_ROWS = 128
+#: Walk: lit-tape sliding window rows (VMEM).  Sized so a full run
+#: sub-range (RUN_SUB_ROWS*128 records over ~1.2 cells/record) fits one
+#: window on text-like data — the flat no-window-check path.
+LIT_WIN_ROWS = 4096
+
+
+def _load_span4(out_ref, q):
+    """(SPAN_ROWS,128) int32 of output bytes [q, q+512) flat-aligned.
+
+    Trailing (q & 127) lanes of the last row wrap to the first row;
+    callers only consume flat offsets f < 512 - (q & 127)."""
+    row = q >> 7
+    r = q & 127
+    a = out_ref[pl.ds(row, SPAN_ROWS), :]
+    ar = pltpu.roll(a, -r, axis=1)
+    nxt = jnp.concatenate([ar[1:], ar[:1]], axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SPAN_ROWS, 128), 1)
+    return jnp.where(lane < 128 - r, ar, nxt)
+
+
+# ---------------------------------------------------------------------------
+# Compact kernel
+# ---------------------------------------------------------------------------
+
+
+def _compact_kernel(mbase_ref, rbase_ref, dm_ref, mm_ref, dr_ref, mr_ref,
+                    idm_ref, imm_ref, idr_ref, imr_ref,
+                    odm_ref, omm_ref, odr_ref, omr_ref,
+                    bufs, lastd_ref, sems, *, in_rows: int, cap_rows: int):
+    """Compact one chunk's match + run tapes into the dense lists.
+
+    dm/mm (dr/mr): (in_rows,128) per-record dst / packed meta rows for
+    matches (runs); meta == 0 marks padding slots.  odm/omm/odr/omr:
+    full dense arrays in ANY memory, written only via DMA at the
+    prefetched chunk row base.  Output DMAs are strictly serialized
+    (chunk c+1's DMA starts only after chunk c's completed) because
+    the fixed-size flush overruns into the next chunk's region.
+    """
+    del idm_ref, imm_ref, idr_ref, imr_ref
+    ci = pl.program_id(0)
+    flat2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0) * 128 + \
+        jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+    flatC = jax.lax.broadcasted_iota(jnp.int32, (cap_rows, 128), 0) * 128 + \
+        jax.lax.broadcasted_iota(jnp.int32, (cap_rows, 128), 1)
+
+    slot = ci % 2
+
+    @pl.when(ci == 0)
+    def _():
+        lastd_ref[0] = 0
+        lastd_ref[1] = 0
+
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+    def make_block(d_ref, m_ref, bd, bm, last_idx):
+        def block_body(b, cur):
+            """Compact 8 tape rows with phase-separated (pipelinable)
+            work: ranks -> per-row lane binary search -> gathers -> 8
+            independent rolled stores at precomputed cursors."""
+            dv8 = d_ref[pl.ds(b * 8, 8), :]
+            mv8 = m_ref[pl.ds(b * 8, 8), :]
+            vm8 = mv8 != 0
+            x = vm8.astype(jnp.int32)
+            for k in range(7):
+                sh = 1 << k
+                x = x + jnp.where(lane8 >= sh, pltpu.roll(x, sh, axis=1), 0)
+            # x = inclusive in-row prefix count; nv per row at lane 127.
+            nv8 = jax.lax.slice(x, (0, 127), (8, 128))  # (8,1)
+            # s(t) = first lane with x >= t+1 (x non-decreasing per row).
+            tplus = lane8 + 1
+            lo = jnp.zeros((8, 128), jnp.int32)
+            for k in range(6, -1, -1):
+                mid = lo + (1 << k)
+                probe = jnp.take_along_axis(x, jnp.minimum(mid, 127), axis=1)
+                lo = jnp.where(probe < tplus, jnp.minimum(mid, 127), lo)
+            s = jnp.where(
+                jnp.take_along_axis(x, lo, axis=1) < tplus,
+                jnp.minimum(lo + 1, 127), lo)
+            cd = jnp.take_along_axis(dv8, s, axis=1)
+            cm = jnp.take_along_axis(mv8, s, axis=1)
+            # Per-row fill value: running max of valid dsts (carried).
+            rowmax = jnp.max(jnp.where(vm8, dv8, 0), axis=1, keepdims=True)
+            rm = rowmax
+            for k in range(3):
+                sh = 1 << k
+                shifted = pltpu.roll(rm, sh, axis=0)
+                rm = jnp.maximum(
+                    rm, jnp.where(jax.lax.broadcasted_iota(
+                        jnp.int32, (8, 1), 0) >= sh, shifted, 0))
+            runmax = jnp.maximum(rm, lastd_ref[last_idx])
+            cd = jnp.where(lane8 < nv8, cd, runmax)
+            cm = jnp.where(lane8 < nv8, cm, 0)
+            lastd_ref[last_idx] = jnp.max(runmax)
+            # 8 independent stores at scalar cursors.
+            curs = []
+            c = cur
+            for r in range(8):
+                curs.append(c)
+                c = c + jnp.sum(jax.lax.slice(nv8, (r, 0), (r + 1, 1)))
+            for r in range(8):
+                rp = curs[r] & 127
+                nv_r = curs[r + 1] - curs[r] if r < 7 else c - curs[r]
+                rolled_d = pltpu.roll(
+                    jax.lax.slice(cd, (r, 0), (r + 1, 128)), rp, axis=1)
+                rolled_m = pltpu.roll(
+                    jax.lax.slice(cm, (r, 0), (r + 1, 128)), rp, axis=1)
+                mask = (flat2 >= rp) & (flat2 < rp + nv_r)
+                pltpu.store(bufs.at[slot, bd, pl.ds(curs[r] >> 7, 2), :],
+                            jnp.concatenate([rolled_d, rolled_d], axis=0),
+                            mask=mask)
+                pltpu.store(bufs.at[slot, bm, pl.ds(curs[r] >> 7, 2), :],
+                            jnp.concatenate([rolled_m, rolled_m], axis=0),
+                            mask=mask)
+            return c
+
+        return block_body
+
+    def tail_fill(bd, bm, last_idx, cur):
+        # Tail fill keeps the dense dst array monotone past the chunk.
+        tmask = flatC >= cur
+        pltpu.store(bufs.at[slot, bd, pl.ds(0, cap_rows), :],
+                    jnp.full((cap_rows, 128), lastd_ref[last_idx], jnp.int32),
+                    mask=tmask)
+        pltpu.store(bufs.at[slot, bm, pl.ds(0, cap_rows), :],
+                    jnp.zeros((cap_rows, 128), jnp.int32), mask=tmask)
+
+    blk_m = make_block(dm_ref, mm_ref, 0, 1, 0)
+    blk_r = make_block(dr_ref, mr_ref, 2, 3, 1)
+
+    def blk_both(b, c):
+        return (blk_m(b, c[0]), blk_r(b, c[1]))
+
+    cur_m, cur_r = jax.lax.fori_loop(0, in_rows // 8, blk_both, (0, 0))
+    tail_fill(0, 1, 0, cur_m)
+    tail_fill(2, 3, 1, cur_r)
+
+    # Serialize output DMAs: wait for the previous chunk's flush first.
+    @pl.when(ci > 0)
+    def _():
+        prev = 1 - slot
+        pb = mbase_ref[ci - 1]
+        prb = rbase_ref[ci - 1]
+        for j, (oref, b) in enumerate(((odm_ref, pb), (omm_ref, pb),
+                                       (odr_ref, prb), (omr_ref, prb))):
+            pltpu.make_async_copy(
+                bufs.at[prev, j], oref.at[pl.ds(b, cap_rows), :],
+                sems.at[prev, j]).wait()
+
+    mb = mbase_ref[ci]
+    rb = rbase_ref[ci]
+    for j, (oref, b) in enumerate(((odm_ref, mb), (omm_ref, mb),
+                                   (odr_ref, rb), (omr_ref, rb))):
+        pltpu.make_async_copy(
+            bufs.at[slot, j], oref.at[pl.ds(b, cap_rows), :],
+            sems.at[slot, j]).start()
+
+    @pl.when(ci == pl.num_programs(0) - 1)
+    def _():
+        for j, (oref, b) in enumerate(((odm_ref, mb), (omm_ref, mb),
+                                       (odr_ref, rb), (omr_ref, rb))):
+            pltpu.make_async_copy(
+                bufs.at[slot, j], oref.at[pl.ds(b, cap_rows), :],
+                sems.at[slot, j]).wait()
+
+
+def compact_v15(dm, mm, dr, mr, mbase, rbase, dm_init, mm_init,
+                dr_init, mr_init, slots: int, interpret: bool = False):
+    """Run the compact kernel.  dm/mm/dr/mr: (tape_rows,128) cell-major
+    record rows; mbase/rbase: (n_chunks,) int32 dense ROW bases (128-row
+    aligned chunk regions); *_init: dense arrays pre-filled (dst=BIG,
+    meta=0) that the kernel overwrites in [0, real_rows)."""
+    tape_rows = dm.shape[0]
+    in_rows = CHUNK_CELLS * slots // 128
+    cap_rows = in_rows + 2
+    n_chunks = tape_rows // in_rows
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((in_rows, 128), lambda i, mb, rb: (i, 0)),
+            pl.BlockSpec((in_rows, 128), lambda i, mb, rb: (i, 0)),
+            pl.BlockSpec((in_rows, 128), lambda i, mb, rb: (i, 0)),
+            pl.BlockSpec((in_rows, 128), lambda i, mb, rb: (i, 0)),
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, cap_rows, 128), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_compact_kernel, in_rows=in_rows,
+                          cap_rows=cap_rows),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(dm_init.shape, jnp.int32)] * 4,
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(mbase, rbase, dm, mm, dr, mr, dm_init, mm_init, dr_init, mr_init)
+
+
+# ---------------------------------------------------------------------------
+# Walk kernel
+# ---------------------------------------------------------------------------
+
+
+def _walk_kernel(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
+                 lit_hbm, init_ref, out_ref):
+    """One segment: literal-run flushes + frontier-batched match walk.
+
+    lim: (8,) SMEM = (m_lo, m_lo2, m_hi2, m_hi, r_lo, r_hi, seg_off, 0).
+    Matches [m_lo, m_lo2) replay with head clipping (window-crossing),
+    [m_lo2, m_hi2) run clip-free in scheduled batches, [m_hi2, m_hi)
+    clip at the segment end.  Runs [r_lo, r_hi) flush from the lit
+    window (store masks clip at both segment edges).
+
+    The batch schedule is built by a scalar-only DISCOVERY pass (the
+    frontier rule needs one compare per record and two scalar loads —
+    no vector<->scalar round trips), emitting packed sub-batch words
+    (start | size<<24, or start | 1<<31 for RLE singletons) to SMEM.
+    EXECUTION is then a flat fori over sub-batches whose loads/stores
+    pipeline freely — measured 4.6 ns/slot vs ~470 ns/batch for the
+    interleaved discover-and-execute while-loop (two vector<->scalar
+    syncs per batch).
+    """
+    del init_ref
+    body_start = PAD + WINDOW
+    body_end = (out_ref.shape[0] - 4) * 128
+    m_lo = lim_ref[0]
+    m_lo2 = lim_ref[1]
+    m_hi2 = lim_ref[2]
+    m_hi = lim_ref[3]
+    r_lo = lim_ref[4]
+    r_hi = lim_ref[5]
+    seg_off = lim_ref[6]
+    base_adj = body_start - seg_off
+    flat4 = jax.lax.broadcasted_iota(jnp.int32, (SPAN_ROWS, 128), 0) * 128 + \
+        jax.lax.broadcasted_iota(jnp.int32, (SPAN_ROWS, 128), 1)
+    flat2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0) * 128 + \
+        jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+
+    SCHED_CAP = SUB_ROWS * 128 + 8
+
+    def body(dst_s, meta_s, sched_s, rd_s, rm_s, lit_v, sems):
+        def copy_clipped(src, dst, length):
+            rp = dst & 127
+            data = _load_span4(out_ref, src - rp)
+            base_p = dst - rp
+            mask = (flat4 >= rp) & (flat4 < rp + length)
+            mask &= (flat4 + base_p >= body_start) & \
+                    (flat4 + base_p < body_end)
+            pltpu.store(out_ref.at[pl.ds(dst >> 7, SPAN_ROWS), :], data,
+                        mask=mask)
+
+        def serial_one(j):
+            """Fully guarded single match (prologue/epilogue/RLE)."""
+            m = meta_s[j >> 7, j & 127]
+            d = dst_s[j >> 7, j & 127] + base_adj
+            length = m >> 16
+            dist = m & 0xFFFF
+            delta = jnp.maximum(body_start - d, 0)
+            eff = jnp.maximum(length - delta, 0)
+            dd = d + delta
+
+            @pl.when((eff > 0) & (dd < body_end))
+            def _():
+                n0 = jnp.minimum(dist, eff)
+                copy_clipped(dd - dist, dd, n0)
+
+                @pl.when(dist < eff)
+                def _rle():
+                    def grow(k, avail):
+                        @pl.when(avail < eff)
+                        def _():
+                            n_new = jnp.minimum(avail, eff - avail)
+                            copy_clipped(dd, dd + avail, n_new)
+                        return jnp.minimum(avail * 2, eff)
+                    jax.lax.fori_loop(0, 9, grow, n0)
+
+        # ---------------- literal runs ----------------
+        def run_subrange(rj):
+            """Stage RUN_SUB_ROWS rows from rj's row; flush runs with a
+            sliding lit window (lit rows are monotone in record order)."""
+            r0 = rj // 128
+            rbase0 = r0 * 128
+            rsub_end = jnp.minimum(r_hi, rbase0 + RUN_SUB_ROWS * 128)
+            nrb = ((rsub_end - rbase0 + 127) // 128 + 7) // 8
+
+            def rdma(b, _):
+                pltpu.make_async_copy(
+                    rdst_hbm.at[pl.ds(r0 + b * 8, 8), :],
+                    rd_s.at[pl.ds(b * 8, 8), :], sems.at[4]).start()
+                pltpu.make_async_copy(
+                    rmeta_hbm.at[pl.ds(r0 + b * 8, 8), :],
+                    rm_s.at[pl.ds(b * 8, 8), :], sems.at[5]).start()
+                return 0
+
+            def rdma_w(b, _):
+                pltpu.make_async_copy(
+                    rdst_hbm.at[pl.ds(r0 + b * 8, 8), :],
+                    rd_s.at[pl.ds(b * 8, 8), :], sems.at[4]).wait()
+                pltpu.make_async_copy(
+                    rmeta_hbm.at[pl.ds(r0 + b * 8, 8), :],
+                    rm_s.at[pl.ds(b * 8, 8), :], sems.at[5]).wait()
+                return 0
+
+            jax.lax.fori_loop(0, nrb, rdma, 0)
+            jax.lax.fori_loop(0, nrb, rdma_w, 0)
+
+            def flush_run(jl, win0):
+                meta = rm_s[jl >> 7, jl & 127]
+                litrow = meta >> 14
+
+                @pl.when(meta != 0)
+                def _():
+                    d = rd_s[jl >> 7, jl & 127] + base_adj
+                    lane0 = (meta >> 7) & 0x7F
+                    rl = meta & 0x7F
+                    rowv = lit_v[pl.ds(litrow - win0, 1), :]
+                    rp = d & 127
+                    rolled = pltpu.roll(rowv, rp - lane0, axis=1)
+                    vals = jnp.concatenate([rolled, rolled], axis=0)
+                    base_p = d - rp
+                    mask = (flat2 >= rp) & (flat2 < rp + rl)
+                    mask &= (flat2 + base_p >= body_start) & \
+                            (flat2 + base_p < body_end)
+                    pltpu.store(out_ref.at[pl.ds(d >> 7, 2), :], vals,
+                                mask=mask)
+
+            # Fast path: the whole sub-range's lit rows fit one window
+            # (lit rows are monotone in record order) -> ONE window DMA +
+            # a flat, pipelined fori over the runs.
+            jl_first = rj - rbase0
+            # Last REAL record (skip chunk-tail padding, meta==0, whose
+            # litrow field is 0 and would understate the window span).
+            jl_last = jax.lax.while_loop(
+                lambda j: (j > jl_first) & (rm_s[j >> 7, j & 127] == 0),
+                lambda j: j - 1, rsub_end - 1 - rbase0)
+            w_first = rm_s[jl_first >> 7, jl_first & 127] >> 14
+            w_last = rm_s[jl_last >> 7, jl_last & 127] >> 14
+            fits = (w_last - w_first) < LIT_WIN_ROWS
+
+            @pl.when(fits)
+            def _flat():
+                pltpu.make_async_copy(
+                    lit_hbm.at[pl.ds(w_first, LIT_WIN_ROWS), :], lit_v,
+                    sems.at[6]).start()
+                pltpu.make_async_copy(
+                    lit_hbm.at[pl.ds(w_first, LIT_WIN_ROWS), :], lit_v,
+                    sems.at[6]).wait()
+
+                def fr(j, _):
+                    flush_run(j - rbase0, w_first)
+                    return 0
+
+                jax.lax.fori_loop(rj, rsub_end, fr, 0)
+
+            @pl.when(jnp.logical_not(fits))
+            def _sliding():
+                def win_loop(j):
+                    """Window at run j's row; flush while runs stay in."""
+                    jl0 = j - rbase0
+                    win0 = rm_s[jl0 >> 7, jl0 & 127] >> 14
+                    pltpu.make_async_copy(
+                        lit_hbm.at[pl.ds(win0, LIT_WIN_ROWS), :], lit_v,
+                        sems.at[6]).start()
+                    pltpu.make_async_copy(
+                        lit_hbm.at[pl.ds(win0, LIT_WIN_ROWS), :], lit_v,
+                        sems.at[6]).wait()
+
+                    def run_cond(c):
+                        jj, go = c
+                        return (jj < rsub_end) & go
+
+                    def run_one(c):
+                        jj, _ = c
+                        jl = jj - rbase0
+                        meta = rm_s[jl >> 7, jl & 127]
+                        inwin = (meta >> 14) < win0 + LIT_WIN_ROWS
+
+                        @pl.when(inwin)
+                        def _():
+                            flush_run(jl, win0)
+
+                        return (jnp.where(inwin, jj + 1, jj), inwin)
+
+                    j_end, _ = jax.lax.while_loop(run_cond, run_one,
+                                                  (j, True))
+                    return j_end
+
+                jax.lax.while_loop(lambda j: j < rsub_end, win_loop, rj)
+
+            return rsub_end
+
+        jax.lax.while_loop(lambda s: s < r_hi, run_subrange, r_lo)
+
+        # ---------------- matches ----------------
+        def match_subrange(sub0):
+            """Load up to SUB_ROWS rows starting at record sub0 (row-
+            aligned), walk them; returns the next unprocessed record."""
+            r0 = sub0 // 128
+            base0 = r0 * 128
+            sub_end = jnp.minimum(m_hi, base0 + SUB_ROWS * 128)
+            n_rows = (sub_end - base0 + 127) // 128
+            nblk = (n_rows + 7) // 8
+
+            def dma(b, _):
+                for i, (h, d) in enumerate(((mdst_hbm, dst_s),
+                                            (mmeta_hbm, meta_s))):
+                    pltpu.make_async_copy(
+                        h.at[pl.ds(r0 + b * 8, 8), :],
+                        d.at[pl.ds(b * 8, 8), :], sems.at[i]).start()
+                return 0
+
+            def dma_w(b, _):
+                for i, (h, d) in enumerate(((mdst_hbm, dst_s),
+                                            (mmeta_hbm, meta_s))):
+                    pltpu.make_async_copy(
+                        h.at[pl.ds(r0 + b * 8, 8), :],
+                        d.at[pl.ds(b * 8, 8), :], sems.at[i]).wait()
+                return 0
+
+            jax.lax.fori_loop(0, nblk, dma, 0)
+            jax.lax.fori_loop(0, nblk, dma_w, 0)
+
+            # prologue: replays with head clipping
+            def pro(j, _):
+                serial_one(j - base0)
+                return 0
+
+            jax.lax.fori_loop(jnp.maximum(m_lo, base0),
+                              jnp.minimum(m_lo2, sub_end), pro, 0)
+
+            # -------- scalar discovery pass --------
+            # Emits packed sub-batch words to sched_s: hazard-free
+            # groups as start | size<<24 (size 1..8), RLE singletons
+            # as start | 1<<31.  All scalar loads/ALU — no
+            # vector<->scalar synchronization.
+            main_lo = jnp.maximum(m_lo2, base0) - base0
+            main_end = jnp.minimum(m_hi2, sub_end) - base0
+
+            def disc(j, c):
+                # Branch-free: stores are unconditional (a non-closing
+                # record writes a scratch word at sched[k] / flag[nf]
+                # that the next real event overwrites); only the cursor
+                # bumps are predicated.  RLE singletons go to the side
+                # list flag_s as (sched-boundary << 15 | record) so the
+                # execution pass stays branch-free between boundaries.
+                k, nf, bstart, F = c
+                dj = dst_s[j >> 7, j & 127]
+                mj = meta_s[j >> 7, j & 127]
+                F = jnp.where(j == bstart, dj, F)
+                req = dj - (mj & 0xFFFF) + (mj >> 16)
+                viol = req > F
+                close = (viol & (j > bstart)) | (j - bstart >= GROUP)
+                sched_s[k] = bstart | ((j - bstart) << 24)
+                k = k + close.astype(jnp.int32)
+                bstart = jnp.where(close, j, bstart)
+                F = jnp.where(close, dj, F)
+                # Fresh-start recheck: at a batch head the frontier is
+                # the head's own dst, so only dist < len (RLE) violates.
+                single = (req > dj) & (j == bstart)
+                # Flags live at the TOP of sched_s growing downward
+                # (k + nf <= records + 1 <= capacity).
+                sched_s[SCHED_CAP - 1 - nf] = (k << 15) | j
+                nf = nf + single.astype(jnp.int32)
+                bstart = jnp.where(single, j + 1, bstart)
+                return (k, nf, bstart, F)
+
+            k, nf, bstart, _ = jax.lax.fori_loop(
+                main_lo, main_end, disc, (0, 0, main_lo, 0))
+
+            @pl.when(main_end > bstart)
+            def _():
+                sched_s[k] = bstart | ((main_end - bstart) << 24)
+
+            k = k + (main_end > bstart).astype(jnp.int32)
+
+            # -------- execution: branch-free group runs between the
+            # (rare) flagged boundaries --------
+            def group(e, _):
+                w = sched_s[e]
+                start = w & 0x7FFF
+                size = w >> 24
+                datas, dsts, lens = [], [], []
+                for t in range(GROUP):
+                    j = start + t
+                    live = t < size
+                    m = jnp.where(live, meta_s[j >> 7, j & 127], 0)
+                    d = jnp.where(live,
+                                  dst_s[j >> 7, j & 127] + base_adj,
+                                  body_start)
+                    rp = d & 127
+                    datas.append(_load_span4(
+                        out_ref, d - (m & 0xFFFF) - rp))
+                    dsts.append(d)
+                    lens.append(m >> 16)
+                for t in range(GROUP):
+                    rp = dsts[t] & 127
+                    mask = (flat4 >= rp) & (flat4 < rp + lens[t])
+                    pltpu.store(
+                        out_ref.at[pl.ds(dsts[t] >> 7, SPAN_ROWS), :],
+                        datas[t], mask=mask)
+                return 0
+
+            def per_flag(fi, prev_e):
+                wj = sched_s[SCHED_CAP - 1 - fi]
+                ke = wj >> 15
+                jax.lax.fori_loop(prev_e, ke, group, 0)
+                serial_one(wj & 0x7FFF)
+                return ke
+
+            prev_e = jax.lax.fori_loop(0, nf, per_flag, 0)
+            jax.lax.fori_loop(prev_e, k, group, 0)
+
+            # epilogue: tail-clip matches in this sub-range
+            def epi(j, _):
+                serial_one(j - base0)
+                return 0
+
+            jax.lax.fori_loop(jnp.maximum(m_hi2, base0),
+                              jnp.minimum(m_hi, sub_end), epi, 0)
+            return sub_end
+
+        def m_cond(s):
+            return s < m_hi
+
+        jax.lax.while_loop(m_cond, match_subrange, m_lo)
+
+    pl.run_scoped(
+        body,
+        dst_s=pltpu.SMEM((SUB_ROWS, 128), jnp.int32),
+        meta_s=pltpu.SMEM((SUB_ROWS, 128), jnp.int32),
+        sched_s=pltpu.SMEM((SUB_ROWS * 128 + 8,), jnp.int32),
+        rd_s=pltpu.SMEM((RUN_SUB_ROWS, 128), jnp.int32),
+        rm_s=pltpu.SMEM((RUN_SUB_ROWS, 128), jnp.int32),
+        lit_v=pltpu.VMEM((LIT_WIN_ROWS, 128), jnp.int32),
+        sems=pltpu.SemaphoreType.DMA((7,)),
+    )
+
+
+def walk_v15(init, lim, mdst, mmeta, rdst, rmeta, lit2d,
+             interpret: bool = False):
+    """One segment's walk inside jit (init aliases the output)."""
+    return pl.pallas_call(
+        _walk_kernel,
+        out_shape=jax.ShapeDtypeStruct(init.shape, jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={6: 0},
+        interpret=interpret,
+    )(lim, mdst, mmeta, rdst, rmeta, lit2d, init)
+
+
+# ---------------------------------------------------------------------------
+# XLA glue + driver
+# ---------------------------------------------------------------------------
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
+def resolve_segmented_v15(ma, mb, ra, rb, lit, cnt, outlen, bob_cell,
+                          n_seg: int, stored_pos, stored_val,
+                          slots: int, seg_bytes: int,
+                          interpret: bool = False):
+    """Phase B v15 driver (same contract as resolve_ops_segmented_v13).
+
+    ma/mb/ra/rb/lit: (slots, cells_pad) Phase A tapes; cnt packs
+    match_cnt<<16 | run_cnt<<8 | lit_cnt; outlen: per-cell output bytes;
+    bob_cell: stored-bytes offset per cell.
+    """
+    cells_pad = ma.shape[1]
+    cpr = 128 // slots
+    assert cells_pad % CHUNK_CELLS == 0
+    n_chunks = cells_pad // CHUNK_CELLS
+    in_rows = CHUNK_CELLS * slots // 128
+    cap_rows = in_rows + 2
+
+    mc = (cnt >> 16) & 0xFF
+    rc = (cnt >> 8) & 0xFF
+    cl = outlen.astype(jnp.int32)
+    bob = jnp.pad(bob_cell.astype(jnp.int32),
+                  (0, cells_pad - bob_cell.shape[0]))
+    cum = jnp.cumsum(cl)
+    cbase = bob + cum - cl
+
+    # Per-record elementwise prep over (slots, cells_pad): broadcasts only.
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (slots, cells_pad), 0)
+    vm = slot_iota < mc[None, :]
+    vr = slot_iota < rc[None, :]
+    dstm = jnp.where(vm, ma + cbase[None, :], 0)
+    metam = jnp.where(vm, mb, 0)
+    dstr = jnp.where(vr, ra + cbase[None, :], 0)
+    # Run meta: global lit tape row << 14 | lane0 << 7 | run_len.
+    cell_iota = jax.lax.broadcasted_iota(jnp.int32, (slots, cells_pad), 1)
+    litrow = cell_iota // cpr
+    lane0 = (cell_iota % cpr) * slots + (rb >> 16)
+    metar = jnp.where(vr, (litrow << 14) | (lane0 << 7) | (rb & 0xFFFF), 0)
+
+    from debigulator_tpu.utils.profiling import named_scope
+
+    def rows_of(t):  # (slots, cells_pad) -> cell-major (tape_rows, 128)
+        return t.T.reshape(-1, 128)
+
+    with named_scope("v15_prep"):
+        dm, mm = rows_of(dstm), rows_of(metam)
+        dr, mr = rows_of(dstr), rows_of(metar)
+        lit2d = jnp.pad(rows_of(lit), ((0, LIT_WIN_ROWS + 8), (0, 0)))
+
+    # Chunk row bases (128-row-aligned dense regions).
+    mrows_c = -(-mc.reshape(n_chunks, CHUNK_CELLS).sum(axis=1) // 128)
+    rrows_c = -(-rc.reshape(n_chunks, CHUNK_CELLS).sum(axis=1) // 128)
+    mbase = (jnp.cumsum(mrows_c) - mrows_c).astype(jnp.int32)
+    rbase = (jnp.cumsum(rrows_c) - rrows_c).astype(jnp.int32)
+
+    dense_rows = cells_pad * slots // 128 + cap_rows + SUB_ROWS + 16
+    dm_init = jnp.full((dense_rows, 128), BIG, jnp.int32)
+    z_init = jnp.zeros((dense_rows, 128), jnp.int32)
+    with named_scope("v15_compact"):
+        mdst, mmeta, rdst, rmeta = compact_v15(
+            dm, mm, dr, mr, mbase, rbase, dm_init, z_init, dm_init, z_init,
+            slots, interpret=interpret)
+
+    # Per-segment record ranges over the dense (monotone) dst arrays.
+    mflat = mdst.reshape(-1)
+    mlen = (mmeta.reshape(-1) >> 16)
+    rflat = rdst.reshape(-1)
+    offs = jnp.arange(n_seg, dtype=jnp.int32) * seg_bytes
+    ends = offs + seg_bytes
+    m_lo = jnp.searchsorted(mflat + mlen, offs, side="right").astype(jnp.int32)
+    m_lo2 = jnp.searchsorted(mflat, offs, side="left").astype(jnp.int32)
+    m_hi2 = jnp.searchsorted(mflat + 258, ends, side="left").astype(jnp.int32)
+    m_hi = jnp.searchsorted(mflat, ends, side="left").astype(jnp.int32)
+    r_lo = jnp.searchsorted(rflat + 128, offs, side="right").astype(jnp.int32)
+    r_hi = jnp.searchsorted(rflat, ends, side="left").astype(jnp.int32)
+    z = jnp.zeros(n_seg, jnp.int32)
+    lims = jnp.stack([m_lo, m_lo2, m_hi2, m_hi, r_lo, r_hi, offs, z], axis=1)
+
+    total = n_seg * seg_bytes
+    out_flat = jnp.zeros(total, jnp.int32)
+    if stored_val.shape[0]:
+        out_flat = out_flat.at[stored_pos].set(
+            stored_val.astype(jnp.int32), mode="drop")
+    body_seg = out_flat.reshape(n_seg, seg_bytes // 128, 128)
+
+    pad = jnp.zeros((PAD // 128, 128), jnp.int32)
+    slack = jnp.zeros((4, 128), jnp.int32)
+
+    def seg_step(tail, inp):
+        seg_body, lim = inp
+        init = jnp.concatenate([pad, tail, seg_body, slack], axis=0)
+        out2d = walk_v15(init, lim, mdst, mmeta, rdst, rmeta, lit2d,
+                         interpret=interpret)
+        body = out2d[PAD // 128 + WIN_ROWS:-4]
+        new_tail = out2d[-4 - WIN_ROWS:-4]
+        return new_tail, body
+
+    tail0 = jnp.zeros((WIN_ROWS, 128), jnp.int32)
+    _, outs = jax.lax.scan(seg_step, tail0, (body_seg, lims))
+    return outs.reshape(-1)

@@ -26,18 +26,23 @@ from debigulator_tpu.ops.inflate_ref import (
 
 _native = None
 _native_checked = False
+_native_lock = __import__("threading").Lock()
 
 
 def _get_native():
     global _native, _native_checked
     if not _native_checked:
-        _native_checked = True
-        try:
-            from debigulator_tpu.native import scanner as native_scanner
+        with _native_lock:
+            if not _native_checked:
+                try:
+                    from debigulator_tpu.native import scanner as native_scanner
 
-            _native = native_scanner
-        except Exception:
-            _native = None
+                    if not native_scanner.available():
+                        raise RuntimeError("native lib failed to load")
+                    _native = native_scanner
+                except Exception:
+                    _native = None
+                _native_checked = True
     return _native
 
 

@@ -1,0 +1,160 @@
+"""PNG unfilter: reshape-shear skew + ONE in-VMEM Pallas wavefront kernel.
+
+The XLA wavefront (ops.unfilter_device.unfilter_wavefront) walks w+h-1
+fori steps through HBM-resident dynamic slices (~13 ms for 1024x1024
+RGBA) and the dispatcher reads the filter-byte column back to the host
+to pick prefix-sum fast paths — the round-3 verdict's PNG complaint.
+
+Restructured for the VPU:
+
+* Because y advances by exactly one per scanline, the skew that turns
+  anti-diagonals into columns is a PURE pad+reshape per plane (shear by
+  +1/row: pad rows to width ndiag+1, flatten, reslice at stride ndiag) —
+  no gathers, no roll cascade; one transpose makes diagonals rows.
+* The kernel runs the whole wavefront in VMEM: a fori over diagonals
+  where step d reads diagonal rows d-1 / d-2, forms up/up-left with a
+  one-flat shift (lane roll + sublane carry, zeros entering at plane
+  starts), applies the per-row filter select incl. the nonlinear Paeth
+  predictor (reference decode_png.c:441-541 semantics), and writes
+  diagonal d — ~30 VPU ops on a few fully-utilized vregs per step.
+* The inverse reshape-shear un-skews the result.
+
+Every filter type goes through the same kernel; there is no host
+readback anywhere (the None/Up/Sub fast paths are subsumed).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from debigulator_tpu import constants as C
+
+#: VMEM budget guard: images whose skewed arrays exceed this should use
+#: the XLA fallback path (ops.unfilter_device).
+MAX_SKEW_BYTES = 48 * 1024 * 1024
+
+
+def skew_bytes(height: int, width: int, bpp: int) -> int:
+    fp8 = -(-bpp * height // 8)
+    return 2 * (width + height + 1) * 8 * fp8 * 4
+
+
+def _wavefront_kernel(ft_ref, fsk_ref, init_ref, s_ref, *, h, w, fp, fp8,
+                      ndiag):
+    """ft: (8, fp8) filter type per flat; fsk: (ndiag*8, fp8) skewed
+    filtered bytes (diagonal d = rows 8d..8d+8); s (aliases init, zero):
+    ((ndiag+2)*8, fp8) skewed reconstruction at diagonal offset +2."""
+    del init_ref
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, fp8), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, fp8), 0)
+    flat = sub * fp8 + lane
+    y_flat = flat % h
+    ft = ft_ref[...]
+    is_sub = ft == C.PNG_FILTER_SUB
+    is_up = ft == C.PNG_FILTER_UP
+    is_avg = ft == C.PNG_FILTER_AVERAGE
+    is_paeth = ft == C.PNG_FILTER_PAETH
+
+    def shift1(row):
+        """value at flat-1 (zeros entering at plane starts, y == 0)."""
+        r = pltpu.roll(row, 1, axis=1)
+        prev = jnp.concatenate([r[-1:], r[:-1]], axis=0)
+        shifted = jnp.where(lane == 0, prev, r)
+        return jnp.where(y_flat == 0, 0, shifted)
+
+    def step(d, _):
+        cm1 = s_ref[pl.ds((d + 1) * 8, 8), :]
+        cm2 = s_ref[pl.ds(d * 8, 8), :]
+        left = cm1
+        up = shift1(cm1)
+        upleft = shift1(cm2)
+        fcol = fsk_ref[pl.ds(d * 8, 8), :]
+        # Paeth predictor (PNG spec §9.4).
+        p = left + up - upleft
+        pa = jnp.abs(p - left)
+        pb = jnp.abs(p - up)
+        pc = jnp.abs(p - upleft)
+        paeth = jnp.where(
+            (pa <= pb) & (pa <= pc), left, jnp.where(pb <= pc, up, upleft))
+        pred = jnp.where(
+            is_sub, left,
+            jnp.where(is_up, up,
+                      jnp.where(is_avg, (left + up) >> 1,
+                                jnp.where(is_paeth, paeth, 0))))
+        val = (fcol + pred) & 0xFF
+        x = d - y_flat
+        mask = (x >= 0) & (x < w) & (flat < fp)
+        s_ref[pl.ds((d + 2) * 8, 8), :] = jnp.where(mask, val, 0)
+        return 0
+
+    jax.lax.fori_loop(0, ndiag, step, 0)
+
+
+def _shear(planes, ndiag):
+    """(bpp, h, >=w) -> (bpp, h, ndiag) with row r shifted right by r.
+
+    y advances by one per scanline, so the +1/row shear is a pad +
+    flatten + reslice: out[r, c] = pad[r, c - r] for 0 <= c - r < w
+    (out-of-range cells hold neighboring-row garbage, which the kernel
+    masks off via the x-in-image check)."""
+    bpp, h, wp = planes.shape
+    padded = jnp.pad(planes, ((0, 0), (0, 0), (0, ndiag + 1 - wp)))
+    flat = padded.reshape(bpp, h * (ndiag + 1))
+    return flat[:, : h * ndiag].reshape(bpp, h, ndiag)
+
+
+def _unshear(planes, w):
+    """(bpp, h, D) with row r shifted by r -> (bpp, h, w) natural."""
+    bpp, h, D = planes.shape
+    flat = planes.reshape(bpp, h * D)
+    flat = jnp.pad(flat, ((0, 0), (0, h)))
+    return flat[:, : h * (D + 1)].reshape(bpp, h, D + 1)[:, :, :w]
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "bpp",
+                                             "interpret"))
+def unfilter_wavefront_pallas(filtered, height: int, width: int, bpp: int,
+                              interpret: bool = False):
+    """(h*(1+w*bpp),) uint8 filtered scanlines -> (h, w*bpp) uint8."""
+    h, w = height, width
+    fil = filtered.reshape(h, 1 + w * bpp)
+    ftype = fil[:, 0].astype(jnp.int32)
+    fp = bpp * h
+    fp8 = -(-fp // 8)
+    fp_pad = fp8 * 8
+    ndiag = w + h - 1
+
+    # Plane-major: f[p, y, x]; shear so diagonals are columns; pad the
+    # flat axis to fp_pad; transpose so diagonals are rows.
+    f = fil[:, 1:].reshape(h, w, bpp).transpose(2, 0, 1)
+    g = _shear(f.astype(jnp.int32), ndiag)          # (bpp, h, ndiag)
+    g = g.reshape(fp, ndiag)
+    g = jnp.pad(g, ((0, fp_pad - fp), (0, 0)))
+    fsk = g.T.reshape(ndiag * 8, fp8)               # diag-major rows
+
+    ft_flat = jnp.tile(ftype, bpp)
+    ft_flat = jnp.pad(ft_flat, (0, fp_pad - fp)).reshape(8, fp8)
+
+    init = jnp.zeros(((ndiag + 2) * 8, fp8), jnp.int32)
+    s = pl.pallas_call(
+        functools.partial(_wavefront_kernel, h=h, w=w, fp=fp, fp8=fp8,
+                          ndiag=ndiag),
+        out_shape=jax.ShapeDtypeStruct(init.shape, jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(ft_flat, fsk, init)
+
+    # Un-skew: drop the +2 diagonal offset, transpose back, inverse shear.
+    su = s.reshape(ndiag + 2, fp_pad)[2:].T[:fp]    # (fp, ndiag)
+    recon = _unshear(su.reshape(bpp, h, ndiag), w)  # (bpp, h, w)
+    recon = recon.transpose(1, 2, 0).reshape(h, w * bpp)
+    return recon.astype(jnp.uint8)

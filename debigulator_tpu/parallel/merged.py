@@ -52,10 +52,12 @@ def build_merged_plan(streams: list[bytes], records: bool = True,
     exact = True
 
     # We merge at the PlanV3 array level: build each stream's plan, then
-    # shift and concatenate.
-    plans = []
-    recs_list = []
-    for i, s in enumerate(streams):
+    # shift and concatenate.  Per-stream scans + plan builds are
+    # independent, and the native scanner is a ctypes call (GIL
+    # released), so they run on a thread pool — the host scan was the
+    # serial e2e ceiling flagged in round 3 (host_ms_per_stream 4.4).
+    def scan_one(i):
+        s = streams[i]
         if scanned is not None:
             blocks, lengths, cells = scanned[i]
             recs = None
@@ -64,10 +66,26 @@ def build_merged_plan(streams: list[bytes], records: bool = True,
         else:
             blocks, lengths, cells = scan_stream_cells(s, v3.CELL_BITS)
             recs = None
-        if cells is None:
-            exact = False
-        recs_list.append(recs)
-        plans.append(v3.build_plan_v3(s, blocks, lengths, cells=cells))
+        return recs, v3.build_plan_v3(s, blocks, lengths, cells=cells)
+
+    if len(streams) > 1:
+        import concurrent.futures as cf
+        import os as _os
+
+        # Load the native library once BEFORE the pool: a concurrent
+        # first import inside worker threads can fail and latch the
+        # "native unavailable" fallback.
+        from debigulator_tpu.ops.scanner import _get_native
+
+        _get_native()
+        workers = min(len(streams), max(2, _os.cpu_count() or 2))
+        with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            results = list(pool.map(scan_one, range(len(streams))))
+    else:
+        results = [scan_one(i) for i in range(len(streams))]
+    recs_list = [r for r, _ in results]
+    plans = [p for _, p in results]
+    exact = all(p.exact_entries for p in plans)
     have_recs = all(r is not None for r in recs_list) and recs_list
 
     nb_total = sum(p.ll_count.shape[0] for p in plans)
@@ -407,7 +425,7 @@ def prepare_merged(mp: MergedPlan, interpret: bool | None = None,
 
     def call(slots: int):
         if pa is not None:
-            return v3._inflate_v13_jit(
+            return v3.flagship_jit()(
                 pa, arrays, slots, n_seg, interpret=interpret,
             )
         return v3._inflate_v5_jit(
