@@ -145,10 +145,16 @@ def inner(backend: str) -> None:
         single_ms = (time.time() - t0) * 1e3
         assert out_one == z.decompress(one, -15)
 
-        # PNG device decode: gimp_test (the README anchor) + a type-6
+        # PNG decode: gimp_test (the README anchor) + a type-6
         # Paeth-heavy fs_* image — the corpus classes the reference
         # publishes timings for (BASELINE.md: 138 / ~46 MB/s).
+        # png_device_mbps times the fused device pipeline (scan + one
+        # fused inflate+adler+unfilter+expand dispatch, probe sync);
+        # png_mbps additionally pays the full RGBA readback, which on
+        # the dev tunnel is bounded by the ~55 MB/s link (a production
+        # PCIe host pays ~0.2 ms for the same 4 MB).
         png_mbps = None
+        png_dev_mbps = None
         png_corpus_mbps = None
         try:
             from debigulator_tpu.models.pipeline import decode_png_device
@@ -164,6 +170,38 @@ def inner(backend: str) -> None:
             avg = rgba.reshape(-1, 4).mean(axis=0).round().astype(int)
             assert list(avg) in ([248, 249, 251, 158], [249, 249, 251, 158])
 
+            # Device-side: same fused path, tiny probe sync instead of
+            # the full readback.
+            from debigulator_tpu.models import png_codec as _pc
+            from debigulator_tpu.models.pipeline import _png_fused_jit
+            from debigulator_tpu.models.zlib_codec import parse_zlib_header
+            from debigulator_tpu.ops import inflate_v3 as _v3
+            from debigulator_tpu.ops.phase_a_pallas import build_pa_arrays
+
+            ch = _pc.parse_chunks(png_raw)
+            parse_zlib_header(ch.idat)
+            payload = ch.idat[2:]
+            from debigulator_tpu.ops.scanner import scan_stream_cells
+
+            blocks, lengths, cells = scan_stream_cells(payload, _v3.CELL_BITS)
+            t0 = time.time()
+            for _ in range(3):
+                blocks, lengths, cells = scan_stream_cells(
+                    payload, _v3.CELL_BITS)
+                plan = _v3.build_plan_v3(payload, blocks, lengths, cells=cells)
+                pa = build_pa_arrays(plan)
+                arrays = _v3.plan_arrays_v7(plan)
+                n_seg = _v3._round_pow2(
+                    max(1, -(-plan.out_size // _v3.SEG_BYTES)), 1)
+                pix, adler, _ = _png_fused_jit()(
+                    pa, arrays, plan.slots, n_seg,
+                    out_size=plan.out_size, h=ch.info.height,
+                    w=ch.info.width, bpp=ch.info.bpp, expand_rgb=False,
+                    interpret=False)
+                np.asarray(probe(pix))
+            png_dev_dt = (time.time() - t0) / 3
+            png_dev_mbps = rgba.nbytes / png_dev_dt / 1e6
+
             fs_raw = open(
                 "/root/reference/resources/fs_bridge.png", "rb"
             ).read()
@@ -175,6 +213,35 @@ def inner(backend: str) -> None:
             png_corpus_mbps = (fs.nbytes + rgba2.nbytes) / corpus_dt / 1e6
         except Exception as e:  # noqa: BLE001
             detail["png_error"] = f"{type(e).__name__}: {e}"
+
+        # Encoder throughput: gimp filtered rows (the stb_write.h:895
+        # workload; compiled stb measures 67.4 MB/s / 68,632 B here).
+        # Device core: elementwise distance-ladder lengths + on-device
+        # greedy walk; the 4 MB h2d staging rides the ~55 MB/s tunnel
+        # (~76 ms that a PCIe host would not pay).
+        enc_mbps = None
+        enc_bytes = None
+        try:
+            from debigulator_tpu.ops.deflate_encode_jnp import (
+                deflate_fixed_device,
+            )
+            from debigulator_tpu.ops.unfilter import filter_image_best
+
+            rh, rw = rgba.shape[:2]
+            filt = np.asarray(
+                filter_image_best(rgba.reshape(rh, rw * 4), rh, rw, 4)
+            ).tobytes()
+            deflate_fixed_device(filt, stride=rw * 4 + 1)  # warm
+            t0 = time.time()
+            out_enc = deflate_fixed_device(filt, stride=rw * 4 + 1)
+            enc_dt = time.time() - t0
+            import zlib as _z
+
+            assert _z.decompress(out_enc, -15) == filt
+            enc_mbps = len(filt) / enc_dt / 1e6
+            enc_bytes = len(out_enc)
+        except Exception as e:  # noqa: BLE001
+            detail["encode_error"] = f"{type(e).__name__}: {e}"
 
         value = e2e_gbps
         detail.update({
@@ -190,16 +257,26 @@ def inner(backend: str) -> None:
             "single_stream_ms": round(single_ms, 1),
             "compile_warm_s": round(compile_s, 1),
             "sync": "per-rep device sync (e2e); pipelined (device_gbps)",
-            "pipeline": "v13 device-resident: Pallas Phase A (on-chip "
-                        "Huffman -> match/run/lit tapes) + segmented "
-                        "Pallas op-walk LZ77; host = O(blocks+cells) scan",
+            "pipeline": "v15 device-resident: Pallas Phase A (on-chip "
+                        "Huffman -> match/run/lit tapes) + dense-compact "
+                        "+ frontier-batched hazard-free walk; host = "
+                        "threaded O(blocks+cells) scan",
             "bit_exact": True,
         })
         if png_mbps is not None:
             detail["png_mbps"] = round(png_mbps, 1)
             detail["png_vs_reference"] = round(png_mbps / PNG_BASELINE_MBPS, 2)
+        if png_dev_mbps is not None:
+            detail["png_device_mbps"] = round(png_dev_mbps, 1)
+            detail["png_device_vs_reference"] = round(
+                png_dev_mbps / PNG_BASELINE_MBPS, 2)
         if png_corpus_mbps is not None:
             detail["png_corpus_mbps"] = round(png_corpus_mbps, 1)
+        if enc_mbps is not None:
+            detail["encode_mbps"] = round(enc_mbps, 1)
+            detail["encode_vs_stb_speed"] = round(enc_mbps / 67.4, 2)
+            detail["encode_bytes"] = enc_bytes
+            detail["encode_vs_stb_size"] = round(enc_bytes / 68632, 3)
     except Exception as e:  # noqa: BLE001
         detail = {"error": f"{type(e).__name__}: {e}"}
     print(

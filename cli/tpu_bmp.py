@@ -12,7 +12,7 @@ import os
 import sys
 
 # Standalone-script convenience: make the repo root importable when run as
-# `python cli/tpu_gz.py` (sys.path[0] is cli/ in that mode).
+# `python cli/tpu_bmp.py` (sys.path[0] is cli/ in that mode).
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

@@ -82,44 +82,40 @@ def _parse_header(data: memoryview, at: int) -> tuple[int, dict]:
     return p, {"mtime": mtime, "os": os_, "fname": fname}
 
 
-def parse_gzip_members(data) -> list[GzipMember]:
-    """Walk a gzip file and index every member's DEFLATE payload + footer.
-
-    Footer location requires knowing where the DEFLATE stream ends, which the
-    bit-stream itself determines.  Strategy: for a single member the footer is
-    the last 8 bytes (reference decode_gz.c:256-272 does the same).  For
-    concatenated members we locate each member's end by decoding block
-    headers with the host scanner — done lazily in decode_gzip; here we use
-    the cheap single/multi heuristic: scan for the next member after decoding.
-    This function therefore indexes only *structurally*: it returns one entry
-    whose deflate_end is len-8 when no further member is detectable without
-    decode.  decode_gzip() refines multi-member offsets exactly.
-    """
+def parse_first_member(data) -> GzipMember:
+    """Structurally index the FIRST member, assuming its footer is the
+    file tail (valid for single-member files only; reference
+    decode_gz.c:256-272 makes the same assumption).  Concatenated files
+    need `parse_gzip_members` / `index_members_exact`."""
     data = memoryview(data)
     n = len(data)
-    members: list[GzipMember] = []
-    at = 0
-    while at < n:
-        p, hdr = _parse_header(data, at)
-        # Without decoding we only know the member ends somewhere ≤ n-8.
-        # Single member (common case): footer is the file tail.
-        end = n - 8
-        crc, isize = struct.unpack_from("<II", data, end)
-        members.append(
-            GzipMember(
-                header_start=at,
-                deflate_start=p,
-                deflate_end=end,
-                crc32=crc,
-                isize=isize,
-                fname=hdr["fname"],
-                mtime=hdr["mtime"],
-                os=hdr["os"],
-            )
-        )
-        # Multi-member refinement happens in decode_gzip (needs bit positions).
-        break
-    return members
+    p, hdr = _parse_header(data, 0)
+    end = n - 8
+    crc, isize = struct.unpack_from("<II", data, end)
+    return GzipMember(
+        header_start=0,
+        deflate_start=p,
+        deflate_end=end,
+        crc32=crc,
+        isize=isize,
+        fname=hdr["fname"],
+        mtime=hdr["mtime"],
+        os=hdr["os"],
+    )
+
+
+def parse_gzip_members(data) -> list[GzipMember]:
+    """Walk a gzip file and index EVERY member exactly.
+
+    Finding member k+1 requires decoding member k's DEFLATE stream (the
+    bit stream determines its own end), so this delegates to
+    `index_members_exact`.  (Round-3 review: the old version of this
+    function silently returned only the first member with
+    deflate_end = n-8 — misleading for concatenated files.)  Callers
+    that only need the cheap single-member view use
+    `parse_first_member`.
+    """
+    return index_members_exact(data)
 
 
 def index_members_exact(data, inflate_fn=None) -> list[GzipMember]:

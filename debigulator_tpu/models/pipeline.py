@@ -89,20 +89,124 @@ def decode_gzip_device(data, verify: bool = True) -> bytes:
     return b"".join(out_parts)
 
 
-def decode_png_device(data, verify_crc: bool = True, verify_adler: bool = True):
-    """PNG decode, device-resident end to end: inflate + Adler + unfilter
-    + RGBA expansion all run on the decompressed bytes IN DEVICE MEMORY —
-    the only host transfers are the compressed stream in and the final
-    RGBA image out (plus 4 bytes for the Adler check)."""
+_PNG_FUSED = None
+
+
+def _png_fused(pa, arrays, slots, n_seg, out_size, h, w, bpp, expand_rgb,
+               interpret):
+    """ONE device dispatch for the whole PNG pixel path: flagship v15
+    inflate -> Adler-32 -> Pallas wavefront unfilter -> (optional)
+    RGB->RGBA expand.  Returns (pixels uint8, adler u32, overflow)."""
     import jax.numpy as jnp
 
-    from debigulator_tpu.ops.inflate_v3 import inflate_device_v3_dev
+    from debigulator_tpu.ops import inflate_v3 as v3
+    from debigulator_tpu.ops.checksum import adler32_jnp
+    from debigulator_tpu.ops.unfilter_pallas import unfilter_wavefront_pallas
+
+    body, overflow = v3.flagship_body(pa, arrays, slots, n_seg,
+                                      interpret=interpret)
+    raw = body[:out_size]
+    adler = adler32_jnp(raw, out_size)
+    recon = unfilter_wavefront_pallas(
+        raw.astype(jnp.uint8), h, w, bpp, interpret=interpret)
+    if expand_rgb:
+        r3 = recon.reshape(h, w, 3)
+        recon = jnp.concatenate(
+            [r3, jnp.full((h, w, 1), 255, r3.dtype)], axis=2
+        ).reshape(h, w * 4)
+    return recon, adler, overflow
+
+
+def _png_fused_jit():
+    global _PNG_FUSED
+    if _PNG_FUSED is None:
+        import functools
+
+        import jax
+
+        _PNG_FUSED = functools.partial(
+            jax.jit,
+            static_argnames=("slots", "n_seg", "out_size", "h", "w",
+                             "bpp", "expand_rgb", "interpret"),
+        )(_png_fused)
+    return _PNG_FUSED
+
+
+def decode_png_device(data, verify_crc: bool = True, verify_adler: bool = True):
+    """PNG decode, device-resident end to end: inflate + Adler + unfilter
+    + RGBA expansion all run as ONE fused jit dispatch — the only host
+    transfers are the compressed stream in and the final image out (the
+    round-3 path paid 4 separate dispatches plus a filter-byte readback,
+    ~60 ms of tunnel latency per image)."""
+    import jax
+
+    from debigulator_tpu.ops import inflate_v3 as v3
+    from debigulator_tpu.ops.phase_a_pallas import build_pa_arrays
+    from debigulator_tpu.ops.scanner import scan_stream_cells
+    from debigulator_tpu.ops.unfilter_pallas import (
+        MAX_SKEW_BYTES,
+        skew_bytes,
+    )
 
     plog = PhaseLog("png.decode_device")
     chunks = png_codec.parse_chunks(data, verify_crc=verify_crc)
     info = chunks.info
     parse_zlib_header(chunks.idat)
     plog.mark("chunks")
+
+    payload = chunks.idat[2:]
+    expected_size = info.height * (1 + info.stride)
+    blocks, lengths, cells = scan_stream_cells(payload, v3.CELL_BITS)
+    plan = v3.build_plan_v3(payload, blocks, lengths, cells=cells)
+    pa = build_pa_arrays(plan) if plan.exact_entries else None
+    fits = skew_bytes(info.height, info.width, info.bpp) <= MAX_SKEW_BYTES
+    on_tpu = jax.default_backend() not in ("cpu",)
+    force = bool(__import__("os").environ.get("DBG_FORCE_FUSED_PNG"))
+    # On CPU the interpret-mode fused kernels are slow; tests cover the
+    # fused path explicitly (DBG_FORCE_FUSED_PNG) on small images.
+    if (pa is None or not fits or plan.first_state == v3.TERMINAL
+            or not (on_tpu or force)):
+        return _decode_png_device_unfused(chunks, info, plog,
+                                          verify_adler=verify_adler)
+    if plan.out_size != expected_size:
+        raise png_codec.PngError(
+            f"decompressed size {plan.out_size} != expected {expected_size}"
+        )
+    arrays = v3.plan_arrays_v7(plan)
+    n_seg = v3._round_pow2(max(1, -(-plan.out_size // v3.SEG_BYTES)), 1)
+    plog.mark("scan")
+    ct = info.color_type
+    pix, adler, overflow = _png_fused_jit()(
+        pa, arrays, plan.slots, n_seg,
+        out_size=plan.out_size, h=info.height, w=info.width,
+        bpp=info.bpp, expand_rgb=(ct == C.PNG_COLOR_RGB),
+        interpret=not on_tpu,
+    )
+    pix_np = np.asarray(pix)
+    plog.mark("device+readback")
+    if not plan.slots_exact and bool(overflow):  # pragma: no cover
+        raise png_codec.PngError("tape overflow (non-exact scanner bound)")
+    if verify_adler:
+        (expected,) = struct.unpack_from(
+            ">I", chunks.idat, len(chunks.idat) - 4)
+        if int(adler) != expected:
+            raise png_codec.PngError("IDAT Adler-32 mismatch")
+    if ct in (C.PNG_COLOR_RGBA, C.PNG_COLOR_RGB):
+        rgba = pix_np.reshape(info.height, info.width, 4)
+    else:
+        rgba = png_codec.expand_to_rgba(
+            pix_np, info, chunks.palette, chunks.trns
+        )
+    plog.done(w=info.width, h=info.height, color_type=ct,
+              crc="ok" if verify_crc else "skipped",
+              adler="ok" if verify_adler else "skipped")
+    return rgba
+
+
+def _decode_png_device_unfused(chunks, info, plog, verify_adler=True):
+    """Fallback device path (no fused plan): separate dispatches."""
+    from debigulator_tpu.ops.inflate_v3 import inflate_device_v3_dev
+
     body, out_size = inflate_device_v3_dev(chunks.idat[2:])
     plog.mark("inflate")
     expected_size = info.height * (1 + info.stride)
@@ -112,7 +216,8 @@ def decode_png_device(data, verify_crc: bool = True, verify_adler: bool = True):
         )
     raw_dev = body[:out_size]
     if verify_adler:
-        (expected,) = struct.unpack_from(">I", chunks.idat, len(chunks.idat) - 4)
+        (expected,) = struct.unpack_from(
+            ">I", chunks.idat, len(chunks.idat) - 4)
         got = int(ck.adler32_device(raw_dev))
         if got != expected:
             raise png_codec.PngError("IDAT Adler-32 mismatch")
@@ -125,17 +230,13 @@ def decode_png_device(data, verify_crc: bool = True, verify_adler: bool = True):
     if ct == C.PNG_COLOR_RGBA:
         rgba = np.asarray(recon).reshape(info.height, info.width, 4)
     elif ct == C.PNG_COLOR_RGB:
-        # Device expand (one jitted dispatch): append the alpha plane
-        # before the single readback.
         rgba = np.asarray(_expand_rgb_jit(recon, info.height, info.width))
     else:
-        # Palette / gray corpus images are small: expand after readback.
         rgba = png_codec.expand_to_rgba(
             np.asarray(recon), info, chunks.palette, chunks.trns
         )
     plog.mark("expand")
     plog.done(w=info.width, h=info.height, color_type=info.color_type,
-              crc="ok" if verify_crc else "skipped",
               adler="ok" if verify_adler else "skipped")
     return rgba
 

@@ -159,11 +159,18 @@ def lz77_parse(data: np.ndarray, num_candidates: int = 2):
 
 
 def _tokens_to_fields(tokens, litlen_codes, litlen_lengths, dist_codes, dist_lengths):
-    """Token list → flat (value, nbits) bit-field arrays, already bit-reversed
-    where the field is a Huffman code (extra-bit fields stay LSB-first)."""
-    lit = np.array([t[0] for t in tokens], dtype=np.int64)
-    mlen = np.array([t[1] for t in tokens], dtype=np.int64)
-    mdist = np.array([t[2] for t in tokens], dtype=np.int64)
+    """Tokens → flat (value, nbits) bit-field arrays, already bit-reversed
+    where the field is a Huffman code (extra-bit fields stay LSB-first).
+
+    tokens: list of (lit,len,dist) tuples, or a (lit, len, dist) array
+    triple (lit == -1 marks matches) — the array form skips the
+    per-token Python conversion."""
+    if isinstance(tokens, tuple):
+        lit, mlen, mdist = (np.asarray(a, np.int64) for a in tokens)
+    else:
+        lit = np.array([t[0] for t in tokens], dtype=np.int64)
+        mlen = np.array([t[1] for t in tokens], dtype=np.int64)
+        mdist = np.array([t[2] for t in tokens], dtype=np.int64)
     is_match = lit < 0
 
     # length symbol: searchsorted into LENGTH_BASE

@@ -1,0 +1,321 @@
+"""TPU-native DEFLATE encoder core (jnp): elementwise LZ77 lengths.
+
+The host encoder (ops.deflate_encode) is a NumPy port of the array
+design; its per-candidate match extension gathers bytes at arbitrary
+offsets — fine on CPU, but XLA gathers on TPU cost ~8.6 ns/element
+(serial), so a gather-based parse cannot reach the compiled reference's
+~67 MB/s (stb_write.h:895 on this host's gimp_test filtered rows).
+
+This module restructures candidate search so the hot path is PURELY
+elementwise + scans (no gathers at all):
+
+* match lengths are computed per CANDIDATE DISTANCE d as run lengths of
+  the elementwise equality eq_d[i] = data[i] == data[i-d]: the
+  next-zero position is a reversed cumulative-min, so each distance
+  costs three vectorized passes;
+* the candidate set is a static ladder (1..4, 8, the PNG row stride,
+  ...) — on filtered-image data (the reference encoder's only workload)
+  short distances plus the row stride capture the long runs that carry
+  the compression; arbitrary-distance hash candidates are the host
+  encoder's job (quality mode);
+* the greedy token walk operates on the best-(len, dist) arrays.
+
+Output tokens feed the existing field/bit-packing machinery, so streams
+keep the same compatibility gates (decode bit-exact under the compiled
+reference inflate.c, zlib).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from debigulator_tpu import constants as C
+
+#: Static candidate distance ladder (plus the caller's row stride).
+BASE_DISTANCES = (1, 2, 3, 4, 8)
+
+
+@functools.lru_cache(maxsize=None)
+def _lengths_jit(n: int, dists: tuple, cap: int):
+    import jax
+    import jax.numpy as jnp
+
+    def f(data):
+        data = data.astype(jnp.int32)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        best_len = jnp.zeros(n, jnp.int32)
+        best_dist = jnp.zeros(n, jnp.int32)
+        for d in dists:
+            if d >= n:
+                continue
+            eq = jnp.concatenate(
+                [jnp.zeros(d, jnp.bool_), data[d:] == data[:-d]])
+            # Next zero at-or-after i: reversed cumulative min of the
+            # zero positions -> run length from i.
+            z = jnp.where(eq, n, idx)
+            nz = jax.lax.cummin(z[::-1])[::-1]
+            ln = jnp.minimum(nz - idx, cap)
+            # A match at i needs data[i-d:] to repeat: eq from i on.
+            better = (ln >= C.MIN_MATCH_LENGTH) & (ln > best_len)
+            best_len = jnp.where(better, ln, best_len)
+            best_dist = jnp.where(better, d, best_dist)
+        return best_len, best_dist
+
+    return jax.jit(f)
+
+
+def lz77_lengths_device(data: np.ndarray, stride: int | None = None,
+                        cap: int = C.MAX_MATCH_LENGTH):
+    """Best (len, dist) per position over the static distance ladder —
+    all elementwise/scan work, one jit dispatch."""
+    import jax.numpy as jnp
+
+    n = len(data)
+    dists = list(BASE_DISTANCES)
+    if stride and stride not in dists:
+        dists.append(int(stride))
+    f = _lengths_jit(n, tuple(sorted(set(d for d in dists if d < n))), cap)
+    bl, bd = f(jnp.asarray(np.asarray(data, np.uint8)))
+    return np.asarray(bl), np.asarray(bd)
+
+
+#: Greedy-walk kernel staging rows (positions per stage = SUB*128).
+_WALK_SUB = 128
+
+
+def _greedy_walk_kernel(n_ref, bl_hbm, bd_hbm, pos_ref, meta_ref, cnt_ref,
+                        bl_s, bd_s, op_s, om_s, sems):
+    """Sequential greedy LZ77 selection on device.
+
+    Walks positions 0..n advancing by max(len, 1); emits (pos,
+    len<<16|dist) for selected matches.  Scalar-core loop over SMEM
+    stages — visits = selected matches + literal bytes (not n) on
+    compressible data.  Outputs flush as full stages (the final partial
+    stage pads with zeros; cnt gives the true record count)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = n_ref[0]
+    cap = _WALK_SUB * 128
+
+    def outer(state):
+        i, k, flushed = state
+        r0 = (i // 128) // 8 * 8
+        base0 = r0 * 128
+        stage_end = jnp.minimum(n, base0 + cap)
+        nblk = (stage_end - base0 + 1023) // 1024
+
+        def dma(b, _):
+            pltpu.make_async_copy(bl_hbm.at[pl.ds(r0 + b * 8, 8), :],
+                                  bl_s.at[pl.ds(b * 8, 8), :],
+                                  sems.at[0]).start()
+            pltpu.make_async_copy(bd_hbm.at[pl.ds(r0 + b * 8, 8), :],
+                                  bd_s.at[pl.ds(b * 8, 8), :],
+                                  sems.at[1]).start()
+            return 0
+
+        def dma_w(b, _):
+            pltpu.make_async_copy(bl_hbm.at[pl.ds(r0 + b * 8, 8), :],
+                                  bl_s.at[pl.ds(b * 8, 8), :],
+                                  sems.at[0]).wait()
+            pltpu.make_async_copy(bd_hbm.at[pl.ds(r0 + b * 8, 8), :],
+                                  bd_s.at[pl.ds(b * 8, 8), :],
+                                  sems.at[1]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, nblk, dma, 0)
+        jax.lax.fori_loop(0, nblk, dma_w, 0)
+
+        def inner(st):
+            i, k, flushed = st
+            jl = i - base0
+            ln = bl_s[jl >> 7, jl & 127]
+            take = ln >= 3
+            kl = k - flushed
+            op_s[kl >> 7, kl & 127] = i
+            om_s[kl >> 7, kl & 127] = jnp.where(
+                take, (ln << 16) | bd_s[jl >> 7, jl & 127], 0)
+            k = k + take.astype(jnp.int32)
+            i = i + jnp.where(take, ln, 1)
+            # Flush a full output stage.
+            full = (k - flushed) >= cap
+
+            @pl.when(full)
+            def _():
+                fr = flushed // 128
+                pltpu.make_async_copy(
+                    op_s, pos_ref.at[pl.ds(fr, _WALK_SUB), :],
+                    sems.at[2]).start()
+                pltpu.make_async_copy(
+                    op_s, pos_ref.at[pl.ds(fr, _WALK_SUB), :],
+                    sems.at[2]).wait()
+                pltpu.make_async_copy(
+                    om_s, meta_ref.at[pl.ds(fr, _WALK_SUB), :],
+                    sems.at[3]).start()
+                pltpu.make_async_copy(
+                    om_s, meta_ref.at[pl.ds(fr, _WALK_SUB), :],
+                    sems.at[3]).wait()
+
+            flushed = jnp.where(full, flushed + cap, flushed)
+            return (i, k, flushed)
+
+        i, k, flushed = jax.lax.while_loop(
+            lambda st: st[0] < stage_end, inner, (i, k, flushed))
+        return (i, k, flushed)
+
+    i, k, flushed = jax.lax.while_loop(
+        lambda st: st[0] < n, outer, (0, 0, 0))
+    # Final partial flush (zero the tail first so padding is len 0).
+    kl = k - flushed
+
+    def zero_tail(j, _):
+        @pl.when(j >= kl)
+        def _():
+            om_s[j >> 7, j & 127] = 0
+            op_s[j >> 7, j & 127] = 0
+        return 0
+
+    jax.lax.fori_loop(0, cap, zero_tail, 0)
+    fr = flushed // 128
+    pltpu.make_async_copy(op_s, pos_ref.at[pl.ds(fr, _WALK_SUB), :],
+                          sems.at[2]).start()
+    pltpu.make_async_copy(op_s, pos_ref.at[pl.ds(fr, _WALK_SUB), :],
+                          sems.at[2]).wait()
+    pltpu.make_async_copy(om_s, meta_ref.at[pl.ds(fr, _WALK_SUB), :],
+                          sems.at[3]).start()
+    pltpu.make_async_copy(om_s, meta_ref.at[pl.ds(fr, _WALK_SUB), :],
+                          sems.at[3]).wait()
+    cnt_ref[0] = k
+
+
+@functools.lru_cache(maxsize=None)
+def _walk_jit(rows: int, out_rows: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def f(n, bl2d, bd2d):
+        return pl.pallas_call(
+            _greedy_walk_kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
+                jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)],
+            scratch_shapes=[
+                pltpu.SMEM((_WALK_SUB, 128), jnp.int32),
+                pltpu.SMEM((_WALK_SUB, 128), jnp.int32),
+                pltpu.SMEM((_WALK_SUB, 128), jnp.int32),
+                pltpu.SMEM((_WALK_SUB, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            interpret=interpret,
+        )(n, bl2d, bd2d)
+
+    return jax.jit(f)
+
+
+def lz77_select_device(data: np.ndarray, stride: int | None = None):
+    """Device lengths + device greedy walk.  Returns (sel, lens, dists)
+    numpy arrays of the selected matches (the only readback is the
+    compacted match list, ~8 bytes per match)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(data)
+    dists = list(BASE_DISTANCES)
+    if stride and stride not in dists:
+        dists.append(int(stride))
+    dist_t = tuple(sorted(set(d for d in dists if d < n)))
+    lf = _lengths_jit(n, dist_t, C.MAX_MATCH_LENGTH)
+    bl, bd = lf(jnp.asarray(np.asarray(data, np.uint8)))
+    rows = -(-n // 128)
+    rows_p = (-(-rows // 8) * 8) + _WALK_SUB + 8
+    pad = rows_p * 128 - n
+    bl2d = jnp.pad(bl, (0, pad)).reshape(rows_p, 128)
+    bd2d = jnp.pad(bd, (0, pad)).reshape(rows_p, 128)
+    out_rows = rows_p + _WALK_SUB
+    interpret = jax.default_backend() == "cpu"
+    pos2d, meta2d, cnt = _walk_jit(rows_p, out_rows, interpret)(
+        jnp.asarray([n], jnp.int32), bl2d, bd2d)
+    k = int(cnt[0])
+    full_rows = -(-k // 128) if k else 0
+    pos = np.asarray(pos2d[: max(full_rows, 1)]).reshape(-1)[:k]
+    meta = np.asarray(meta2d[: max(full_rows, 1)]).reshape(-1)[:k]
+    return (pos.astype(np.int64), (meta >> 16).astype(np.int64),
+            (meta & 0xFFFF).astype(np.int64))
+
+
+def lz77_parse_device(data: np.ndarray, stride: int | None = None):
+    """Greedy parse using device-computed lengths.
+
+    Returns an ARRAY token triple (lit, len, dist) — lit == -1 marks
+    matches — accepted directly by deflate_encode._tokens_to_fields.
+    The Python loop touches only SELECTED MATCHES (~tokens/avg-run);
+    literal gaps are materialized with vectorized range expansion, never
+    per byte.
+    """
+    data = np.asarray(data, np.uint8)
+    n = len(data)
+    if n < 8:
+        z = np.zeros(n, np.int64)
+        return (data.astype(np.int64), z, z)
+    sel, lens, dists = lz77_select_device(data, stride=stride)
+    m = len(sel)
+    # Literal gaps: [gap g start, gap g end) = [prev match end, match g).
+    gap_start = np.concatenate([[0], sel + lens]) if m else np.array([0])
+    gap_end = np.concatenate([sel, [n]]) if m else np.array([n])
+    gap_len = gap_end - gap_start
+    total_lits = int(gap_len.sum())
+    # Vectorized range expansion: source index of each literal byte.
+    lit_base = np.cumsum(gap_len) - gap_len
+    lit_src = (np.arange(total_lits, dtype=np.int64)
+               + np.repeat(gap_start - lit_base, gap_len))
+    # Token layout: gap g's literals then match g (last gap has none).
+    T = total_lits + m
+    lit = np.empty(T, np.int64)
+    mlen = np.zeros(T, np.int64)
+    mdist = np.zeros(T, np.int64)
+    # Match token positions: after gap g's literals.
+    mpos = lit_base[:m] + gap_len[:m] + np.arange(m, dtype=np.int64)
+    is_lit = np.ones(T, bool)
+    is_lit[mpos] = False
+    lit[is_lit] = data[lit_src]
+    lit[mpos] = -1
+    mlen[mpos] = lens
+    mdist[mpos] = dists
+    return (lit, mlen, mdist)
+
+
+def deflate_fixed_device(data, stride: int | None = None) -> bytes:
+    """Fixed-Huffman DEFLATE with the device LZ77 core (stb-compatible
+    single block, stored fallback)."""
+    from debigulator_tpu.ops import deflate_encode as enc
+
+    data_np = np.frombuffer(memoryview(bytes(data)), dtype=np.uint8)
+    n = len(data_np)
+    tokens = lz77_parse_device(data_np, stride=stride)
+    vals, bits = enc._tokens_to_fields(
+        tokens,
+        enc._FIXED_LITLEN_CODES, enc._FIXED_LITLEN_LENGTHS,
+        enc._FIXED_DIST_CODES, enc._FIXED_DIST_LENGTHS,
+    )
+    eob_bits = int(enc._FIXED_LITLEN_LENGTHS[256])
+    eob_val = int(enc._reverse_bits(
+        np.array([enc._FIXED_LITLEN_CODES[256]]), np.array([eob_bits]))[0])
+    vals = np.concatenate([vals, [np.uint64(eob_val)]])
+    bits = np.concatenate([bits, [eob_bits]])
+    packed, _ = enc.pack_bits(vals, bits, prefix_bits=3, prefix_val=0b011)
+    if len(packed) >= n + 5 * ((n + 65534) // 65535):
+        return enc.deflate_stored(data_np)
+    return packed

@@ -1348,16 +1348,10 @@ def _inflate_v13_jit(pa, arrays, slots, n_seg, interpret=False):
     return body, overflow
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("slots", "n_seg", "interpret"),
-)
-def _inflate_v15_jit(pa, arrays, slots, n_seg, interpret=False):
-    """Flagship device-resident pipeline, v15 Phase B: dense record
-    lists (vectorized compact kernel) + frontier-batched hazard-free
-    walk (scalar discovery pass, flat pipelined execution).  See
-    ops.phase_b_v15 for the design; Phase A is unchanged from v13.
-    """
+def flagship_body(pa, arrays, slots, n_seg, interpret=False):
+    """Traceable core of the flagship v15 pipeline (callable inside a
+    larger jit, e.g. the fused PNG decode): Pallas Phase A + v15 Phase B.
+    Returns (body bytes-as-int32, overflow flag)."""
     from debigulator_tpu.ops.phase_a_pallas import phase_a13_pallas
     from debigulator_tpu.ops.phase_b_v15 import resolve_segmented_v15
     from debigulator_tpu.utils.profiling import named_scope
@@ -1375,6 +1369,19 @@ def _inflate_v15_jit(pa, arrays, slots, n_seg, interpret=False):
             interpret=interpret,
         )
     return body, overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("slots", "n_seg", "interpret"),
+)
+def _inflate_v15_jit(pa, arrays, slots, n_seg, interpret=False):
+    """Flagship device-resident pipeline, v15 Phase B: dense record
+    lists (vectorized compact kernel) + frontier-batched hazard-free
+    walk (scalar discovery pass, flat pipelined execution).  See
+    ops.phase_b_v15 for the design; Phase A is unchanged from v13.
+    """
+    return flagship_body(pa, arrays, slots, n_seg, interpret=interpret)
 
 
 def resolve_segmented_v14(ma, mb, ra, rb, lit, cnt, outlen, bob_cell,

@@ -373,25 +373,23 @@ def _walk_kernel(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
             jax.lax.fori_loop(0, nrb, rdma, 0)
             jax.lax.fori_loop(0, nrb, rdma_w, 0)
 
-            def flush_run(jl, win0):
+            def flush_run(jl, win0, live=True):
                 meta = rm_s[jl >> 7, jl & 127]
-                litrow = meta >> 14
-
-                @pl.when(meta != 0)
-                def _():
-                    d = rd_s[jl >> 7, jl & 127] + base_adj
-                    lane0 = (meta >> 7) & 0x7F
-                    rl = meta & 0x7F
-                    rowv = lit_v[pl.ds(litrow - win0, 1), :]
-                    rp = d & 127
-                    rolled = pltpu.roll(rowv, rp - lane0, axis=1)
-                    vals = jnp.concatenate([rolled, rolled], axis=0)
-                    base_p = d - rp
-                    mask = (flat2 >= rp) & (flat2 < rp + rl)
-                    mask &= (flat2 + base_p >= body_start) & \
-                            (flat2 + base_p < body_end)
-                    pltpu.store(out_ref.at[pl.ds(d >> 7, 2), :], vals,
-                                mask=mask)
+                litrow = jnp.maximum(meta >> 14, win0)
+                d = rd_s[jl >> 7, jl & 127] + base_adj
+                lane0 = (meta >> 7) & 0x7F
+                # live/padding fold into the store mask (rl = 0).
+                rl = jnp.where(live & (meta != 0), meta & 0x7F, 0)
+                rowv = lit_v[pl.ds(litrow - win0, 1), :]
+                rp = d & 127
+                rolled = pltpu.roll(rowv, rp - lane0, axis=1)
+                vals = jnp.concatenate([rolled, rolled], axis=0)
+                base_p = d - rp
+                mask = (flat2 >= rp) & (flat2 < rp + rl)
+                mask &= (flat2 + base_p >= body_start) & \
+                        (flat2 + base_p < body_end)
+                pltpu.store(out_ref.at[pl.ds(d >> 7, 2), :], vals,
+                            mask=mask)
 
             # Fast path: the whole sub-range's lit rows fit one window
             # (lit rows are monotone in record order) -> ONE window DMA +
@@ -415,11 +413,18 @@ def _walk_kernel(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
                     lit_hbm.at[pl.ds(w_first, LIT_WIN_ROWS), :], lit_v,
                     sems.at[6]).wait()
 
-                def fr(j, _):
-                    flush_run(j - rbase0, w_first)
+                # 8 unrolled independent flushes per iteration pipeline
+                # the per-run roll/store latency (runs have no ordering
+                # constraints at all).
+                def fr8(g, _):
+                    j0 = rj + g * 8
+                    for t in range(8):
+                        j = jnp.minimum(j0 + t, rsub_end - 1)
+                        flush_run(j - rbase0, w_first,
+                                  live=(j0 + t) < rsub_end)
                     return 0
 
-                jax.lax.fori_loop(rj, rsub_end, fr, 0)
+                jax.lax.fori_loop(0, (rsub_end - rj + 7) // 8, fr8, 0)
 
             @pl.when(jnp.logical_not(fits))
             def _sliding():

@@ -62,9 +62,12 @@ def scan_stream_cells(data, cell_bits: int):
     """Index + exact per-cell decoder entry states (native fast path).
 
     Returns (blocks, lengths, cells) with cells = (states int64 array,
-    pend int32 array) in the virtual cell layout of inflate_v3, or
-    cells=None when the native scanner is unavailable (callers then fall
-    back to the speculative entry fixpoint).
+    pend int32 array, mct int) in the virtual cell layout of inflate_v3
+    — mct is the scanner's exact per-cell token bound (max tokens
+    decoded by any single cell, used to pick the tape slot count without
+    an overflow probe) — or cells=None when the native scanner is
+    unavailable (callers then fall back to the speculative entry
+    fixpoint).
     """
     native = _get_native()
     if native is not None:

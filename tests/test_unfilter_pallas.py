@@ -1,0 +1,42 @@
+"""Pallas wavefront unfilter + fused PNG decode path (interpret mode)."""
+
+import hashlib
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from debigulator_tpu.ops.unfilter import unfilter_image
+from debigulator_tpu.ops.unfilter_pallas import unfilter_wavefront_pallas
+
+RES = pathlib.Path("/root/reference/resources")
+GOLDEN = json.load(open(pathlib.Path(__file__).parent / "golden_png.json"))
+
+
+@pytest.mark.parametrize(
+    "h,w,bpp", [(16, 16, 4), (8, 24, 3), (33, 17, 1), (12, 5, 2), (3, 50, 2)]
+)
+def test_wavefront_pallas_matches_oracle(h, w, bpp):
+    rng = np.random.RandomState(h * 100 + w)
+    raw = rng.randint(0, 256, h * (1 + w * bpp), dtype=np.uint8)
+    raw = raw.reshape(h, -1)
+    raw[:, 0] = rng.randint(0, 5, h)  # all five filter types
+    flat = raw.reshape(-1)
+    exp = np.asarray(unfilter_image(flat, h, w, bpp)).reshape(h, w * bpp)
+    got = np.asarray(
+        unfilter_wavefront_pallas(flat, h, w, bpp, interpret=True)
+    )
+    assert (got == exp).all()
+
+
+def test_fused_png_decode_matches_golden(monkeypatch):
+    """The ONE-dispatch fused PNG path (v15 inflate + adler + Pallas
+    unfilter) decodes bit-exact on a small corpus image."""
+    monkeypatch.setenv("DBG_FORCE_FUSED_PNG", "1")
+    from debigulator_tpu.models.pipeline import decode_png_device
+
+    raw = (RES / "font.png").read_bytes()
+    rgba = decode_png_device(raw)
+    sha = hashlib.sha256(np.ascontiguousarray(rgba).tobytes()).hexdigest()
+    assert sha == GOLDEN["font"]["sha256"]
