@@ -121,21 +121,37 @@ def _graph_to_scratch(cw_ref, par_ref, llp_ref, dp_ref,
     ).astype(jnp.int32)  # (96, TC)
 
     def probe(row0):
-        """15-length canonical probe -> (length, offset, unmatched)."""
-        length = jnp.zeros((CELL_BITS, TC), jnp.int32)
-        offset = jnp.zeros((CELL_BITS, TC), jnp.int32)
+        """15-length canonical probe -> (length, offset, unmatched).
+
+        Lim-compare form: canonical tables make the left-justified
+        upper bounds lim_l = (first_l + count_l) << (15-l) monotone, so
+        the code length is 1 + popcount of (rev >= lim_l) — ONE compare
+        + add per length instead of the bounded-range test, and the
+        base-minus-first adjust telescopes through the same indicators
+        (DL_L = DL_1 + sum_{l<L} S_l (DL_{l+1} - DL_l)).  Offset then
+        needs a single per-position variable shift.  (Round-3
+        PERF_NOTES plan #3: 15x2 ops vs 15x6.)
+        """
+        lims = []
+        dls = []
         for l in range(1, C.MAX_BITS + 1):
             cnt = par[row0 + l : row0 + l + 1, :]
             fst = par[row0 + 16 + l : row0 + 17 + l, :]
             bse = par[row0 + 32 + l : row0 + 33 + l, :]
-            code_l = rev >> (C.MAX_BITS - l)
-            off_l = code_l - fst
-            ok = (off_l >= 0) & (off_l < cnt) & (length == 0)
-            length = jnp.where(ok, l, length)
-            offset = jnp.where(ok, bse + off_l, offset)
-        unmatched = length == 0
+            lims.append((fst + cnt) << (C.MAX_BITS - l))
+            dls.append(bse - fst)
+        length = jnp.ones((CELL_BITS, TC), jnp.int32)
+        dl_acc = jnp.broadcast_to(dls[0], (CELL_BITS, TC))
+        for l in range(1, C.MAX_BITS + 1):
+            s = rev.astype(jnp.int32) >= lims[l - 1]
+            length = length + s.astype(jnp.int32)
+            if l < C.MAX_BITS:
+                dl_acc = dl_acc + jnp.where(s, dls[l] - dls[l - 1], 0)
+        unmatched = length > C.MAX_BITS
         length = jnp.where(unmatched, C.MAX_BITS, length)
-        offset = jnp.where(unmatched, 0, offset)
+        code = (rev >> (C.MAX_BITS - length).astype(jnp.uint32)).astype(
+            jnp.int32)
+        offset = jnp.where(unmatched, 0, code + dl_acc)
         return length, offset, unmatched
 
     # Symbol lookup: int8 MXU one-hot against plane-major table planes,

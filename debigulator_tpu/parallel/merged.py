@@ -282,6 +282,7 @@ def build_piece_arrays(recs: dict, n_seg: int,
 
     from debigulator_tpu.native.scanner import pack_groups
     from debigulator_tpu.ops import lz77_pallas as lz
+    from debigulator_tpu.ops.archive import lz77_generations as lzgen
 
     SEG = seg_bytes if seg_bytes is not None else v3.SEG_BYTES
     ORIGIN = lz.PAD + lz.WINDOW  # segment body start in local coords
@@ -324,7 +325,7 @@ def build_piece_arrays(recs: dict, n_seg: int,
     p_dst, p_lit, p_len, seg_id = (
         p_dst[order], p_lit[order], p_len[order], seg_id[order])
     counts = np.bincount(seg_id, minlength=n_seg)
-    padded = -(-counts // lz.V9_GROUP) * lz.V9_GROUP
+    padded = -(-counts // lzgen.V9_GROUP) * lzgen.V9_GROUP
     starts_in = np.concatenate([[0], np.cumsum(counts)[:-1]])
     starts_out = np.concatenate([[0], np.cumsum(padded)[:-1]])
     n_slots = int(padded.sum())
@@ -362,11 +363,11 @@ def build_piece_arrays(recs: dict, n_seg: int,
     # Dense literal bytes as (Lr, 128) int32, padded so every segment's
     # fixed scratch DMA window stays in bounds.
     lit = recs["lit"]
-    ls_rows = lz._lit_scratch_rows(SEG)
+    ls_rows = lzgen._lit_scratch_rows(SEG)
     lr = -(-max(len(lit), 1) // 128) + ls_rows
     lit32 = np.zeros(lr * 128, np.int32)
     lit32[: len(lit)] = lit
-    sr = lz.V9_STAGE_ROWS
+    sr = lzgen.V9_STAGE_ROWS
     return {
         "lims": jnp.asarray(lims),
         "gpos": jnp.asarray(_pad_rec_rows(g_pos, sr)),
@@ -411,7 +412,11 @@ def prepare_merged(mp: MergedPlan, interpret: bool | None = None,
             sv = jnp.asarray(plan.stored_val)
 
             def run():
-                return v3._inflate_v10_jit(v9, sp, sv, n_seg,
+                from debigulator_tpu.ops.archive.inflate_generations import (
+                    _inflate_v10_jit,
+                )
+
+                return _inflate_v10_jit(v9, sp, sv, n_seg,
                                            interpret=interpret)
 
             return run

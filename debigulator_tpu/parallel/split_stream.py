@@ -37,6 +37,12 @@ import functools
 import numpy as np
 
 from debigulator_tpu.ops import inflate_v3 as v3
+# The sp layer still rides the v10 host-fed group walk (its taint/patch
+# machinery is group-shaped); porting it to the v15 frontier walk is a
+# round-5 item, so the resolver imports from the quarantined generation.
+from debigulator_tpu.ops.archive.inflate_generations import (
+    resolve_groups_segmented_v10 as _resolve_groups_v10,
+)
 
 WINDOW = 32768
 
@@ -234,7 +240,7 @@ def decode_split_emulated(stream: bytes, n_shards: int,
     outs = []
     for s in range(n_shards):
         a = shard_arrays(plan.phase1, s)
-        outs.append(v3.resolve_groups_segmented_v10(
+        outs.append(_resolve_groups_v10(
             a, n_seg, jnp.asarray(plan.stored_pos[s]),
             jnp.asarray(plan.stored_val[s]), interpret=interpret,
             seg_bytes=plan.seg_bytes,
@@ -247,7 +253,7 @@ def decode_split_emulated(stream: bytes, n_shards: int,
             o[-WINDOW:].reshape(win_rows, 128) for o in outs[:-1]
         ]
         outs = [
-            v3.resolve_groups_segmented_v10(
+            _resolve_groups_v10(
                 shard_arrays(plan.patch, s), n_seg, empty_pos, empty_val,
                 interpret=interpret, tail0=tails[s], body_init=outs[s],
                 seg_bytes=plan.seg_bytes,
@@ -305,7 +311,7 @@ def decode_split_stream(stream: bytes, mesh=None, n_shards: int | None = None,
         pp_d = {k: v[0] for k, v in pp_s.items()}
         p1_d["lit"] = lit_r
         pp_d["lit"] = lit_r
-        out = v3.resolve_groups_segmented_v10(
+        out = _resolve_groups_v10(
             p1_d, n_seg, spos_s[0], sval_s[0], interpret=interpret,
             seg_bytes=plan.seg_bytes,
         )
@@ -315,7 +321,7 @@ def decode_split_stream(stream: bytes, mesh=None, n_shards: int | None = None,
             perm = [(i, (i + 1) % sp_n) for i in range(sp_n)]
             tin = jax.lax.ppermute(tail, "sp", perm)
             tin = jnp.where(idx == 0, jnp.zeros_like(tin), tin)
-            out = v3.resolve_groups_segmented_v10(
+            out = _resolve_groups_v10(
                 pp_d, n_seg, spos_s[0, :0], sval_s[0, :0],
                 interpret=interpret, tail0=tin, body_init=out,
                 seg_bytes=plan.seg_bytes,

@@ -115,7 +115,9 @@ def test_v14_experiment_matches_v13():
     pa = build_pa_arrays(plan)
     a7 = v3.plan_arrays_v7(plan)
     n_seg = v3._round_pow2(max(1, -(-plan.out_size // v3.SEG_BYTES)), 1)
-    body, ovf = v3._inflate_v14_jit(pa, a7, plan.slots, n_seg,
+    from debigulator_tpu.ops.archive import inflate_generations as v3gen
+
+    body, ovf = v3gen._inflate_v14_jit(pa, a7, plan.slots, n_seg,
                                     interpret=True)
     assert not bool(ovf)
     got = np.asarray(body[: plan.out_size]).astype(np.uint8).tobytes()

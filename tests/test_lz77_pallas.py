@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from debigulator_tpu.ops import lz77_pallas as lz
+from debigulator_tpu.ops.archive import lz77_generations as lzgen
 
 
 def _mk_tape(tokens, slots=8):
@@ -43,7 +44,7 @@ def _expected(tokens):
 def _run(tokens, slots=8):
     tape, counts = _mk_tape(tokens, slots)
     exp = _expected(tokens)
-    got = lz.resolve_tape_pallas(tape, counts, len(exp), interpret=True)
+    got = lzgen.resolve_tape_pallas(tape, counts, len(exp), interpret=True)
     assert got.tobytes() == exp, f"mismatch: {got.tobytes()[:40]} vs {exp[:40]}"
 
 
@@ -111,7 +112,7 @@ def test_against_real_stream():
         cell_pend=arrays["cell_pend"],
     )
     assert not bool(overflow)
-    got = lz.resolve_tape_pallas(
+    got = lzgen.resolve_tape_pallas(
         np.asarray(tape), np.asarray(counts), plan.out_size, interpret=True
     )
     assert got.tobytes() == data

@@ -41,7 +41,9 @@ def _decode_v9(streams):
     assert v9 is not None
     import jax.numpy as jnp
 
-    body = v3._inflate_v10_jit(
+    from debigulator_tpu.ops.archive.inflate_generations import _inflate_v10_jit
+
+    body = _inflate_v10_jit(
         v9, jnp.asarray(plan.stored_pos), jnp.asarray(plan.stored_val),
         n_seg, interpret=True,
     )
