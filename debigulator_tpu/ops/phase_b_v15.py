@@ -55,6 +55,14 @@ WIN_ROWS = WINDOW // 128
 SPAN_ROWS = 4
 GROUP = 8
 BIG = 1 << 30
+#: Interleaved chase lanes in the walk's batch-discovery loop.
+NCH = 4
+
+# Attribution-only skip flags (tools/trace_v15.py): never set in
+# production — outputs are WRONG with any of these on.
+import os as _os
+
+_SKIP = _os.environ.get("DBG_V15_SKIP", "")
 
 #: Cells per compact-kernel chunk (input rows/chunk = CHUNK_CELLS*slots/128).
 #: Matches phase_a_pallas.TC so cells_pad always divides evenly.
@@ -306,6 +314,10 @@ def _walk_kernel(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
         jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
 
     SCHED_CAP = SUB_ROWS * 128 + 8
+    # Per-chase-lane sched region: batch words grow up from 0, RLE flag
+    # words grow down from the top; worst case k + nf = records + 2
+    # scratch slots = SUB_ROWS*128/NCH + 2 <= REGCAP.
+    REGCAP = SCHED_CAP // NCH
 
     def body(dst_s, meta_s, sched_s, rd_s, rm_s, lit_v, sems):
         def copy_clipped(src, dst, length):
@@ -322,7 +334,7 @@ def _walk_kernel(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
             """Fully guarded single match (prologue/epilogue/RLE)."""
             m = meta_s[j >> 7, j & 127]
             d = dst_s[j >> 7, j & 127] + base_adj
-            length = m >> 16
+            length = (m >> 16) & 0x1FF
             dist = m & 0xFFFF
             delta = jnp.maximum(body_start - d, 0)
             eff = jnp.maximum(length - delta, 0)
@@ -463,7 +475,8 @@ def _walk_kernel(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
 
             return rsub_end
 
-        jax.lax.while_loop(lambda s: s < r_hi, run_subrange, r_lo)
+        if "runs" not in _SKIP:
+            jax.lax.while_loop(lambda s: s < r_hi, run_subrange, r_lo)
 
         # ---------------- matches ----------------
         def match_subrange(sub0):
@@ -499,104 +512,129 @@ def _walk_kernel(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
                 serial_one(j - base0)
                 return 0
 
-            jax.lax.fori_loop(jnp.maximum(m_lo, base0),
-                              jnp.minimum(m_lo2, sub_end), pro, 0)
+            if "serial" not in _SKIP:
+                jax.lax.fori_loop(jnp.maximum(m_lo, base0),
+                                  jnp.minimum(m_lo2, sub_end), pro, 0)
 
-            # -------- scalar discovery pass --------
-            # Emits packed sub-batch words to sched_s: hazard-free
-            # groups as start | size<<24 (size 1..8), RLE singletons
-            # as start | 1<<31.  All scalar loads/ALU — no
-            # vector<->scalar synchronization.
+            # -------- batch chase (v15.1) --------
+            # Batch sizes were precomputed VECTORIZED in the XLA glue
+            # (meta bits 25..28: the maximal hazard-free batch length
+            # under the frontier rule, valid for ANY start position),
+            # so discovery collapses to one scalar hop per BATCH: read
+            # the size at the cursor, clip at the range end, emit the
+            # packed sched word (start | size<<24), hop.  Size 0 marks
+            # dist < len (RLE) records -> flag side list at the TOP of
+            # each region growing downward, executed in order between
+            # batch runs (k + nf <= records + 1 <= REGCAP).
+            #
+            # The hop is a loop-carried SMEM-load -> address chain
+            # (~60 ns/batch measured 1-way), so NCH independent chases
+            # over NCH contiguous quarters of the range run interleaved
+            # in one while loop — their latency chains overlap.  Each
+            # region gets its own sched_s area; regions execute in
+            # order, which preserves the global record order.  A
+            # finished (dead) lane keeps storing scratch words at its
+            # final cursors — positions the exec pass never reads.
             main_lo = jnp.maximum(m_lo2, base0) - base0
             main_end = jnp.minimum(m_hi2, sub_end) - base0
+            span = main_end - main_lo
+            q = (span + NCH - 1) // NCH
+            r_los = [jnp.minimum(main_lo + i * q, main_end)
+                     for i in range(NCH)]
+            r_his = [jnp.minimum(main_lo + (i + 1) * q, main_end)
+                     for i in range(NCH)]
 
-            def disc(j, c):
-                # Branch-free: stores are unconditional (a non-closing
-                # record writes a scratch word at sched[k] / flag[nf]
-                # that the next real event overwrites); only the cursor
-                # bumps are predicated.  RLE singletons go to the side
-                # list flag_s as (sched-boundary << 15 | record) so the
-                # execution pass stays branch-free between boundaries.
-                k, nf, bstart, F = c
-                dj = dst_s[j >> 7, j & 127]
-                mj = meta_s[j >> 7, j & 127]
-                F = jnp.where(j == bstart, dj, F)
-                req = dj - (mj & 0xFFFF) + (mj >> 16)
-                viol = req > F
-                close = (viol & (j > bstart)) | (j - bstart >= GROUP)
-                sched_s[k] = bstart | ((j - bstart) << 24)
-                k = k + close.astype(jnp.int32)
-                bstart = jnp.where(close, j, bstart)
-                F = jnp.where(close, dj, F)
-                # Fresh-start recheck: at a batch head the frontier is
-                # the head's own dst, so only dist < len (RLE) violates.
-                single = (req > dj) & (j == bstart)
-                # Flags live at the TOP of sched_s growing downward
-                # (k + nf <= records + 1 <= capacity).
-                sched_s[SCHED_CAP - 1 - nf] = (k << 15) | j
-                nf = nf + single.astype(jnp.int32)
-                bstart = jnp.where(single, j + 1, bstart)
-                return (k, nf, bstart, F)
+            def chase(c):
+                out = []
+                for i in range(NCH):
+                    s, k, nf = c[3 * i], c[3 * i + 1], c[3 * i + 2]
+                    hi = r_his[i]
+                    live = s < hi
+                    jl = jnp.minimum(s, jnp.maximum(hi - 1, 0))
+                    sz = jnp.minimum(meta_s[jl >> 7, jl & 127] >> 25,
+                                     hi - s)
+                    sched_s[i * REGCAP + REGCAP - 1 - nf] = (k << 15) | jl
+                    nf = nf + (live & (sz == 0)).astype(jnp.int32)
+                    sched_s[i * REGCAP + k] = jl | (jnp.maximum(sz, 0)
+                                                    << 24)
+                    k = k + (sz > 0).astype(jnp.int32)
+                    out += [s + jnp.maximum(sz, 1), k, nf]
+                return tuple(out)
 
-            k, nf, bstart, _ = jax.lax.fori_loop(
-                main_lo, main_end, disc, (0, 0, main_lo, 0))
+            def any_live(c):
+                live = c[0] < r_his[0]
+                for i in range(1, NCH):
+                    live = live | (c[3 * i] < r_his[i])
+                return live
 
-            @pl.when(main_end > bstart)
-            def _():
-                sched_s[k] = bstart | ((main_end - bstart) << 24)
-
-            k = k + (main_end > bstart).astype(jnp.int32)
+            init = []
+            for i in range(NCH):
+                init += [r_los[i], jnp.int32(0), jnp.int32(0)]
+            if "chase" in _SKIP:
+                fin = tuple(init)
+            else:
+                fin = jax.lax.while_loop(any_live, chase, tuple(init))
 
             # -------- execution: branch-free group runs between the
-            # (rare) flagged boundaries --------
-            def group(e, _):
-                w = sched_s[e]
-                start = w & 0x7FFF
-                size = w >> 24
-                datas, dsts, lens = [], [], []
-                for t in range(GROUP):
-                    j = start + t
-                    live = t < size
-                    m = jnp.where(live, meta_s[j >> 7, j & 127], 0)
-                    d = jnp.where(live,
-                                  dst_s[j >> 7, j & 127] + base_adj,
-                                  body_start)
-                    rp = d & 127
-                    datas.append(_load_span4(
-                        out_ref, d - (m & 0xFFFF) - rp))
-                    dsts.append(d)
-                    lens.append(m >> 16)
-                for t in range(GROUP):
-                    rp = dsts[t] & 127
-                    mask = (flat4 >= rp) & (flat4 < rp + lens[t])
-                    pltpu.store(
-                        out_ref.at[pl.ds(dsts[t] >> 7, SPAN_ROWS), :],
-                        datas[t], mask=mask)
-                return 0
+            # (rare) flagged boundaries, region by region --------
+            def group(rb):
+                def body(e, _):
+                    w = sched_s[rb + e]
+                    start = w & 0x7FFF
+                    size = w >> 24
+                    datas, dsts, lens = [], [], []
+                    for t in range(GROUP):
+                        j = start + t
+                        live = t < size
+                        m = jnp.where(live, meta_s[j >> 7, j & 127], 0)
+                        d = jnp.where(live,
+                                      dst_s[j >> 7, j & 127] + base_adj,
+                                      body_start)
+                        rp = d & 127
+                        datas.append(_load_span4(
+                            out_ref, d - (m & 0xFFFF) - rp))
+                        dsts.append(d)
+                        lens.append((m >> 16) & 0x1FF)
+                    for t in range(GROUP):
+                        rp = dsts[t] & 127
+                        mask = (flat4 >= rp) & (flat4 < rp + lens[t])
+                        pltpu.store(
+                            out_ref.at[pl.ds(dsts[t] >> 7, SPAN_ROWS), :],
+                            datas[t], mask=mask)
+                    return 0
+                return body
 
-            def per_flag(fi, prev_e):
-                wj = sched_s[SCHED_CAP - 1 - fi]
-                ke = wj >> 15
-                jax.lax.fori_loop(prev_e, ke, group, 0)
-                serial_one(wj & 0x7FFF)
-                return ke
+            if "exec" not in _SKIP and "chase" not in _SKIP:
+                for i in range(NCH):
+                    rb = i * REGCAP
+                    k_i, nf_i = fin[3 * i + 1], fin[3 * i + 2]
+                    grp = group(rb)
 
-            prev_e = jax.lax.fori_loop(0, nf, per_flag, 0)
-            jax.lax.fori_loop(prev_e, k, group, 0)
+                    def per_flag(fi, prev_e, rb=rb, grp=grp):
+                        wj = sched_s[rb + REGCAP - 1 - fi]
+                        ke = wj >> 15
+                        jax.lax.fori_loop(prev_e, ke, grp, 0)
+                        serial_one(wj & 0x7FFF)
+                        return ke
+
+                    prev_e = jax.lax.fori_loop(0, nf_i, per_flag, 0)
+                    jax.lax.fori_loop(prev_e, k_i, grp, 0)
 
             # epilogue: tail-clip matches in this sub-range
             def epi(j, _):
                 serial_one(j - base0)
                 return 0
 
-            jax.lax.fori_loop(jnp.maximum(m_hi2, base0),
-                              jnp.minimum(m_hi, sub_end), epi, 0)
+            if "serial" not in _SKIP:
+                jax.lax.fori_loop(jnp.maximum(m_hi2, base0),
+                                  jnp.minimum(m_hi, sub_end), epi, 0)
             return sub_end
 
         def m_cond(s):
             return s < m_hi
 
-        jax.lax.while_loop(m_cond, match_subrange, m_lo)
+        if "match" not in _SKIP:
+            jax.lax.while_loop(m_cond, match_subrange, m_lo)
 
     pl.run_scoped(
         body,
@@ -698,8 +736,27 @@ def resolve_segmented_v15(ma, mb, ra, rb, lit, cnt, outlen, bob_cell,
 
     # Per-segment record ranges over the dense (monotone) dst arrays.
     mflat = mdst.reshape(-1)
-    mlen = (mmeta.reshape(-1) >> 16)
+    mmetaf = mmeta.reshape(-1)
+    mlen = mmetaf >> 16
     rflat = rdst.reshape(-1)
+
+    # v15.1: precompute every batch size vectorized and pack it into
+    # meta bits 25..28 (len occupies 16..24, dist 0..15).  size8[s] =
+    # maximal t <= GROUP with req_j <= dst_s for all j in [s, s+t) —
+    # the frontier rule, valid for ANY chase start because dst is
+    # monotone and all records < s are resolved when s's batch runs.
+    # size8[s] == 0 <=> req_s > dst_s <=> dist < len (RLE singleton).
+    with named_scope("v15_size8"):
+        req = mflat - (mmetaf & 0xFFFF) + mlen
+        reqp = jnp.concatenate(
+            [req, jnp.full((GROUP,), BIG, jnp.int32)])
+        n_rec = req.shape[0]
+        acc = jnp.ones((n_rec,), jnp.bool_)
+        size8 = jnp.zeros((n_rec,), jnp.int32)
+        for t in range(GROUP):
+            acc = acc & (jax.lax.slice(reqp, (t,), (t + n_rec,)) <= mflat)
+            size8 = size8 + acc
+        mmeta = (mmetaf | (size8 << 25)).reshape(mmeta.shape)
     offs = jnp.arange(n_seg, dtype=jnp.int32) * seg_bytes
     ends = offs + seg_bytes
     m_lo = jnp.searchsorted(mflat + mlen, offs, side="right").astype(jnp.int32)
