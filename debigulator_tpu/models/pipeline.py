@@ -241,6 +241,170 @@ def _decode_png_device_unfused(chunks, info, plog, verify_adler=True):
     return rgba
 
 
+_PNG_SLICE_FUSED = None
+
+
+def _png_slice_fused(body, off, *, size, h, w, bpp, expand_rgb, interpret):
+    """Per-image tail of the corpus pipeline: dynamic-slice one image's
+    raw scanlines out of the merged inflate body, Adler-32 it, Pallas
+    wavefront unfilter, optional RGB->RGBA expand — one dispatch per
+    image, nothing returns to the host in between."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from debigulator_tpu.ops.checksum import adler32_jnp
+    from debigulator_tpu.ops.unfilter_pallas import unfilter_wavefront_pallas
+
+    raw = lax.dynamic_slice_in_dim(body, off, size)
+    adler = adler32_jnp(raw, size)
+    recon = unfilter_wavefront_pallas(
+        raw.astype(jnp.uint8), h, w, bpp, interpret=interpret)
+    if expand_rgb:
+        r3 = recon.reshape(h, w, 3)
+        recon = jnp.concatenate(
+            [r3, jnp.full((h, w, 1), 255, r3.dtype)], axis=2
+        ).reshape(h, w * 4)
+    return recon, adler
+
+
+def _png_slice_fused_jit():
+    global _PNG_SLICE_FUSED
+    if _PNG_SLICE_FUSED is None:
+        import functools
+
+        import jax
+
+        _PNG_SLICE_FUSED = functools.partial(
+            jax.jit,
+            static_argnames=("size", "h", "w", "bpp", "expand_rgb",
+                             "interpret"),
+        )(_png_slice_fused)
+    return _PNG_SLICE_FUSED
+
+
+def decode_png_corpus_device(datas: list[bytes], verify_crc: bool = True,
+                             verify_adler: bool = True,
+                             as_numpy: bool = True):
+    """Corpus PNG decode, device-resident end to end (BASELINE config 3).
+
+    ONE merged inflate call decodes every image's IDAT stream (threaded
+    host scan, fused Pallas Phase A + v15 Phase B), then each image gets
+    one fused slice -> Adler -> wavefront-unfilter -> expand dispatch on
+    the still-resident body; all Adler words verify in a SINGLE stacked
+    readback.  Compare reference decode_png.c:1430-1507 (per-image
+    serial triple loop, ~49 MB/s aggregate on this corpus).
+
+    as_numpy=False returns the per-image device arrays (pre color
+    expansion for palette/gray images) — the bench's device-resident
+    timing hook.  Falls back to decode_png_batch when the native scanner
+    or the fused kernels can't cover an input.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from debigulator_tpu.ops.scanner import _get_native
+    from debigulator_tpu.ops.unfilter_pallas import MAX_SKEW_BYTES, skew_bytes
+    from debigulator_tpu.parallel.merged import build_merged_plan, run_merged_plan
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    force = bool(__import__("os").environ.get("DBG_FORCE_FUSED_PNG"))
+    parsed = [png_codec.parse_chunks(d, verify_crc=verify_crc) for d in datas]
+    for ch in parsed:
+        parse_zlib_header(ch.idat)
+    fits = all(
+        skew_bytes(ch.info.height, ch.info.width, ch.info.bpp)
+        <= MAX_SKEW_BYTES
+        for ch in parsed
+    )
+    if _get_native() is None or not fits or not (on_tpu or force):
+        return decode_png_batch(datas, verify_crc=verify_crc)
+
+    from debigulator_tpu.ops import inflate_v3 as v3
+    from debigulator_tpu.ops.phase_a_pallas import pa_coverable
+    from debigulator_tpu.ops.scanner import scan_stream_cells
+
+    plog = PhaseLog("png.decode_corpus_device")
+    streams = [ch.idat[2:] for ch in parsed]
+
+    # Per-stream scan + plan (threaded; the native scanner releases the
+    # GIL), then partition by Phase A coverage: block-dense streams
+    # (tiles spanning more than one table page) decode individually via
+    # decode_png_device's internal fallback instead of dragging the
+    # whole batch off the flagship path.
+    def scan_one(s):
+        sc = scan_stream_cells(s, v3.CELL_BITS)
+        return sc, v3.build_plan_v3(s, sc[0], sc[1], cells=sc[2])
+
+    if len(streams) > 1:
+        import concurrent.futures as cf
+        import os as _os
+
+        _get_native()
+        workers = min(len(streams), max(2, _os.cpu_count() or 2))
+        with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            scans = list(pool.map(scan_one, streams))
+    else:
+        scans = [scan_one(streams[0])]
+    cover = [pa_coverable(pl) for _, pl in scans]
+    idx_a = [i for i, c in enumerate(cover) if c]
+    if not idx_a:
+        return decode_png_batch(datas, verify_crc=verify_crc)
+
+    mp = build_merged_plan([streams[i] for i in idx_a], records=False,
+                           scanned=[scans[i][0] for i in idx_a])
+    plog.mark("scan")
+    body = run_merged_plan(mp)
+    pix_map, adlers = {}, []
+    for i, off, size in zip(idx_a, mp.out_offsets, mp.out_sizes):
+        info = parsed[i].info
+        expected_size = info.height * (1 + info.stride)
+        if size != expected_size:
+            raise png_codec.PngError(
+                f"decompressed size {size} != expected {expected_size}"
+            )
+        pix, adler = _png_slice_fused_jit()(
+            body, jnp.int32(off), size=size, h=info.height, w=info.width,
+            bpp=info.bpp,
+            expand_rgb=(info.color_type == C.PNG_COLOR_RGB),
+            interpret=not on_tpu,
+        )
+        pix_map[i] = pix
+        adlers.append(adler)
+    # Block-dense leftovers: individual decode (verifies its own Adler).
+    for i, c in enumerate(cover):
+        if not c:
+            pix_map[i] = decode_png_device(datas[i], verify_crc=False,
+                                           verify_adler=verify_adler)
+    plog.mark("dispatch")
+    if verify_adler and adlers:
+        got = np.asarray(jnp.stack(adlers))  # ONE readback for the batch
+        for i, g in zip(idx_a, got):
+            (expected,) = struct.unpack_from(
+                ">I", parsed[i].idat, len(parsed[i].idat) - 4)
+            if int(g) != expected:
+                raise png_codec.PngError("IDAT Adler-32 mismatch")
+        plog.mark("adler")
+    if not as_numpy:
+        return [pix_map[i] for i in range(len(datas))]
+    images = []
+    for i, ch in enumerate(parsed):
+        info = ch.info
+        pix = pix_map[i]
+        if cover[i]:
+            pix_np = np.asarray(pix)
+            if info.color_type in (C.PNG_COLOR_RGBA, C.PNG_COLOR_RGB):
+                images.append(pix_np.reshape(info.height, info.width, 4))
+            else:
+                images.append(
+                    png_codec.expand_to_rgba(
+                        pix_np, info, ch.palette, ch.trns)
+                )
+        else:
+            images.append(np.asarray(pix))
+    plog.done(images=len(images))
+    return images
+
+
 def decode_png_batch(datas: list[bytes], mesh=None, verify_crc: bool = True):
     """Batch PNG decode: all IDAT streams inflate as ONE batched device
     call (dp-sharded when a mesh is given), then per-image unfilter.

@@ -328,6 +328,27 @@ def phase_a_pallas(pa, slots: int, interpret: bool = False):
     return tape_t.T, counts[0]
 
 
+def pa_coverable(plan) -> bool:
+    """Cheap predicate: would build_pa_arrays cover this plan?  (Exact
+    scanner entries + every TC-cell tile's blocks inside one table
+    page.)  Used to partition batches so block-dense streams (e.g. a
+    flush-per-scanline PNG with ~800 blocks in 5 KB) fall back without
+    dragging the whole batch off the flagship path."""
+    if not plan.exact_entries:
+        return False
+    num_cells = plan.num_cells
+    if num_cells == 0:
+        return True
+    cells_pad = -(-num_cells // TC) * TC
+    cb_raw = np.zeros(cells_pad, np.int64)
+    cb_raw[:num_cells] = plan.cell_block
+    cb_raw[num_cells:] = plan.cell_block[-1]
+    comp = np.unique(cb_raw)
+    cb2 = np.searchsorted(comp, cb_raw).reshape(-1, TC)
+    pb = cb2.min(axis=1) // PAGE_STRIDE
+    return not np.any(cb2.max(axis=1) - pb * PAGE_STRIDE >= PAGE)
+
+
 def build_pa_arrays(plan) -> dict | None:
     """Host prep for the fused kernel, or None when it can't cover the
     plan (speculative mode, or a tile spanning more than one table page)."""

@@ -278,7 +278,7 @@ def compact_v15(dm, mm, dr, mr, mbase, rbase, dm_init, mm_init,
 # ---------------------------------------------------------------------------
 
 
-def _walk_kernel(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
+def _walk_kernel(lim_ref, mw0_hbm, mw1_hbm, rdst_hbm, rmeta_hbm,
                  lit_hbm, init_ref, out_ref):
     """One segment: literal-run flushes + frontier-batched match walk.
 
@@ -287,6 +287,18 @@ def _walk_kernel(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
     [m_lo2, m_hi2) run clip-free in scheduled batches, [m_hi2, m_hi)
     clip at the segment end.  Runs [r_lo, r_hi) flush from the lit
     window (store masks clip at both segment edges).
+
+    mw0/mw1: per-record EXEC WORDS precomputed vectorized in the XLA
+    glue (v15.2) so the hot group loop does almost no scalar address
+    arithmetic:
+      w0 = drow_rel << 16 | rp << 9 | len     (dst row/lane + length)
+      w1 = size8 << 27 | (qrow_rel & 0x1FFF) << 7 | qr
+    where rows are relative to the record's OWNING segment (the one
+    containing its dst, always [0, seg_rows)), rp = dst & 127, and
+    q = src - rp is the span-load base (qrow_rel signed: down to
+    -WINDOW/128 - 1 for window-replay sources).  The walk adds one
+    static row base; prologue records (owned by the PREVIOUS segment)
+    get a -seg_rows adjust in the serial path.
 
     The batch schedule is built by a scalar-only DISCOVERY pass (the
     frontier rule needs one compare per record and two scalar loads —
@@ -319,7 +331,10 @@ def _walk_kernel(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
     # scratch slots = SUB_ROWS*128/NCH + 2 <= REGCAP.
     REGCAP = SCHED_CAP // NCH
 
-    def body(dst_s, meta_s, sched_s, rd_s, rm_s, lit_v, sems):
+    ROWB = body_start // 128
+    seg_rows = (body_end - body_start) // 128
+
+    def body(w0_s, w1_s, sched_s, rd_s, rm_s, lit_v, sems):
         def copy_clipped(src, dst, length):
             rp = dst & 127
             data = _load_span4(out_ref, src - rp)
@@ -330,12 +345,20 @@ def _walk_kernel(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
             pltpu.store(out_ref.at[pl.ds(dst >> 7, SPAN_ROWS), :], data,
                         mask=mask)
 
-        def serial_one(j):
-            """Fully guarded single match (prologue/epilogue/RLE)."""
-            m = meta_s[j >> 7, j & 127]
-            d = dst_s[j >> 7, j & 127] + base_adj
-            length = (m >> 16) & 0x1FF
-            dist = m & 0xFFFF
+        def serial_one(j, adj=0):
+            """Fully guarded single match (prologue/epilogue/RLE).
+
+            Recovers (dst, len, dist) from the packed exec words; adj is
+            -seg_rows*128 for prologue records (owned by the PREVIOUS
+            segment, see the kernel docstring)."""
+            w0 = w0_s[j >> 7, j & 127]
+            w1 = w1_s[j >> 7, j & 127]
+            rp = (w0 >> 9) & 0x7F
+            d_rel = ((w0 >> 16) << 7) | rp
+            q_rel = (((w1 << 12) >> 19) << 7) | (w1 & 0x7F)
+            d = d_rel + body_start + adj
+            length = w0 & 0x1FF
+            dist = d_rel - q_rel - rp
             delta = jnp.maximum(body_start - d, 0)
             eff = jnp.maximum(length - delta, 0)
             dd = d + delta
@@ -489,16 +512,16 @@ def _walk_kernel(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
             nblk = (n_rows + 7) // 8
 
             def dma(b, _):
-                for i, (h, d) in enumerate(((mdst_hbm, dst_s),
-                                            (mmeta_hbm, meta_s))):
+                for i, (h, d) in enumerate(((mw0_hbm, w0_s),
+                                            (mw1_hbm, w1_s))):
                     pltpu.make_async_copy(
                         h.at[pl.ds(r0 + b * 8, 8), :],
                         d.at[pl.ds(b * 8, 8), :], sems.at[i]).start()
                 return 0
 
             def dma_w(b, _):
-                for i, (h, d) in enumerate(((mdst_hbm, dst_s),
-                                            (mmeta_hbm, meta_s))):
+                for i, (h, d) in enumerate(((mw0_hbm, w0_s),
+                                            (mw1_hbm, w1_s))):
                     pltpu.make_async_copy(
                         h.at[pl.ds(r0 + b * 8, 8), :],
                         d.at[pl.ds(b * 8, 8), :], sems.at[i]).wait()
@@ -507,9 +530,10 @@ def _walk_kernel(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
             jax.lax.fori_loop(0, nblk, dma, 0)
             jax.lax.fori_loop(0, nblk, dma_w, 0)
 
-            # prologue: replays with head clipping
+            # prologue: replays with head clipping (records owned by the
+            # previous segment -> row fields need the -seg_rows adjust)
             def pro(j, _):
-                serial_one(j - base0)
+                serial_one(j - base0, adj=-seg_rows * 128)
                 return 0
 
             if "serial" not in _SKIP:
@@ -551,7 +575,7 @@ def _walk_kernel(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
                     hi = r_his[i]
                     live = s < hi
                     jl = jnp.minimum(s, jnp.maximum(hi - 1, 0))
-                    sz = jnp.minimum(meta_s[jl >> 7, jl & 127] >> 25,
+                    sz = jnp.minimum((w1_s[jl >> 7, jl & 127] >> 27) & 0xF,
                                      hi - s)
                     sched_s[i * REGCAP + REGCAP - 1 - nf] = (k << 15) | jl
                     nf = nf + (live & (sz == 0)).astype(jnp.int32)
@@ -577,30 +601,48 @@ def _walk_kernel(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
 
             # -------- execution: branch-free group runs between the
             # (rare) flagged boundaries, region by region --------
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+
             def group(rb):
                 def body(e, _):
                     w = sched_s[rb + e]
                     start = w & 0x7FFF
                     size = w >> 24
-                    datas, dsts, lens = [], [], []
+                    datas, drows, rps, lens = [], [], [], []
                     for t in range(GROUP):
                         j = start + t
                         live = t < size
-                        m = jnp.where(live, meta_s[j >> 7, j & 127], 0)
-                        d = jnp.where(live,
-                                      dst_s[j >> 7, j & 127] + base_adj,
-                                      body_start)
-                        rp = d & 127
-                        datas.append(_load_span4(
-                            out_ref, d - (m & 0xFFFF) - rp))
-                        dsts.append(d)
-                        lens.append((m >> 16) & 0x1FF)
+                        w0 = w0_s[j >> 7, j & 127]
+                        w1 = w1_s[j >> 7, j & 127]
+                        # Dead slots (t >= size) read a FUTURE record's
+                        # words: rows are clamped to a safe base and the
+                        # zero length makes the store mask empty.
+                        lens.append(jnp.where(live, w0 & 0x1FF, 0))
+                        rps.append((w0 >> 9) & 0x7F)
+                        drows.append(jnp.where(live, (w0 >> 16) + ROWB,
+                                               ROWB))
+                        qrow = jnp.where(live, ((w1 << 12) >> 19) + ROWB,
+                                         ROWB)
+                        qr = w1 & 0x7F
+                        # Batched matches are NARROW (rp + len + qr <=
+                        # 256): the whole span lives in TWO rows.
+                        if "xload" in _SKIP:  # attribution only
+                            a = lit_v[pl.ds(0, 2), :]
+                        else:
+                            a = out_ref[pl.ds(qrow, 2), :]
+                        ar = pltpu.roll(a, -qr, axis=1)
+                        nxt = pltpu.roll(ar, 1, axis=0)
+                        datas.append(jnp.where(lane2 < 128 - qr, ar, nxt))
                     for t in range(GROUP):
-                        rp = dsts[t] & 127
-                        mask = (flat4 >= rp) & (flat4 < rp + lens[t])
-                        pltpu.store(
-                            out_ref.at[pl.ds(dsts[t] >> 7, SPAN_ROWS), :],
-                            datas[t], mask=mask)
+                        mask = (flat2 - rps[t]).astype(jnp.uint32) < \
+                            lens[t].astype(jnp.uint32)
+                        if "xstore" in _SKIP:  # attribution only
+                            pltpu.store(lit_v.at[pl.ds(2, 2), :],
+                                        datas[t], mask=mask)
+                        else:
+                            pltpu.store(
+                                out_ref.at[pl.ds(drows[t], 2), :],
+                                datas[t], mask=mask)
                     return 0
                 return body
 
@@ -638,8 +680,8 @@ def _walk_kernel(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
 
     pl.run_scoped(
         body,
-        dst_s=pltpu.SMEM((SUB_ROWS, 128), jnp.int32),
-        meta_s=pltpu.SMEM((SUB_ROWS, 128), jnp.int32),
+        w0_s=pltpu.SMEM((SUB_ROWS, 128), jnp.int32),
+        w1_s=pltpu.SMEM((SUB_ROWS, 128), jnp.int32),
         sched_s=pltpu.SMEM((SUB_ROWS * 128 + 8,), jnp.int32),
         rd_s=pltpu.SMEM((RUN_SUB_ROWS, 128), jnp.int32),
         rm_s=pltpu.SMEM((RUN_SUB_ROWS, 128), jnp.int32),
@@ -648,7 +690,7 @@ def _walk_kernel(lim_ref, mdst_hbm, mmeta_hbm, rdst_hbm, rmeta_hbm,
     )
 
 
-def walk_v15(init, lim, mdst, mmeta, rdst, rmeta, lit2d,
+def walk_v15(init, lim, mw0, mw1, rdst, rmeta, lit2d,
              interpret: bool = False):
     """One segment's walk inside jit (init aliases the output)."""
     return pl.pallas_call(
@@ -660,7 +702,7 @@ def walk_v15(init, lim, mdst, mmeta, rdst, rmeta, lit2d,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         input_output_aliases={6: 0},
         interpret=interpret,
-    )(lim, mdst, mmeta, rdst, rmeta, lit2d, init)
+    )(lim, mw0, mw1, rdst, rmeta, lit2d, init)
 
 
 # ---------------------------------------------------------------------------
@@ -740,23 +782,51 @@ def resolve_segmented_v15(ma, mb, ra, rb, lit, cnt, outlen, bob_cell,
     mlen = mmetaf >> 16
     rflat = rdst.reshape(-1)
 
-    # v15.1: precompute every batch size vectorized and pack it into
-    # meta bits 25..28 (len occupies 16..24, dist 0..15).  size8[s] =
-    # maximal t <= GROUP with req_j <= dst_s for all j in [s, s+t) —
-    # the frontier rule, valid for ANY chase start because dst is
-    # monotone and all records < s are resolved when s's batch runs.
-    # size8[s] == 0 <=> req_s > dst_s <=> dist < len (RLE singleton).
+    # v15.1/v15.2: precompute batch sizes AND per-record exec words,
+    # both fully vectorized.  size8[s] = maximal t <= GROUP with
+    # req_j <= dst_s for all j in [s, s+t) — the frontier rule, valid
+    # for ANY chase start because dst is monotone and all records < s
+    # are resolved when s's batch runs; size8[s] == 0 <=> dist < len
+    # (RLE singleton).  The exec words move ALL per-slot address
+    # arithmetic out of the walk's hot loop:
+    #   w0 = drow_rel << 16 | rp << 9 | len
+    #   w1 = size8 << 27 | (qrow_rel & 0x1FFF) << 7 | qr
+    # with rows relative to the record's OWNING segment (dst //
+    # seg_bytes) and q = src - rp the span-load byte base (qrow_rel
+    # signed, >= -WINDOW/128 - 1 for window-replay sources).
+    assert seg_bytes // 128 <= 4096, "qrow field needs seg_rows <= 4096"
     with named_scope("v15_size8"):
         req = mflat - (mmetaf & 0xFFFF) + mlen
+        rp = mflat & 127
+        # Batches admit only NARROW matches: their load/store spans fit
+        # TWO 128-lane rows, halving the exec loop's VMEM row traffic
+        # (the measured bound).  The 2-row LOAD starts qr lanes before
+        # the data, so the full condition is rp + len + qr <= 256
+        # (>99.9% of text matches).  Wide matches get size8 == 0 like
+        # RLE singletons and run through the general 4-row serial path
+        # in order.
+        qr_ = (mflat - (mmetaf & 0xFFFF) - rp) & 127
+        narrow = (rp + (mlen & 0x1FF) + qr_) <= 2 * 128
         reqp = jnp.concatenate(
             [req, jnp.full((GROUP,), BIG, jnp.int32)])
+        nrwp = jnp.concatenate(
+            [narrow, jnp.ones((GROUP,), jnp.bool_)])
         n_rec = req.shape[0]
         acc = jnp.ones((n_rec,), jnp.bool_)
         size8 = jnp.zeros((n_rec,), jnp.int32)
         for t in range(GROUP):
-            acc = acc & (jax.lax.slice(reqp, (t,), (t + n_rec,)) <= mflat)
+            acc = acc & (jax.lax.slice(reqp, (t,), (t + n_rec,)) <= mflat) \
+                & jax.lax.slice(nrwp, (t,), (t + n_rec,))
             size8 = size8 + acc
-        mmeta = (mmetaf | (size8 << 25)).reshape(mmeta.shape)
+        d_rel = mflat - jnp.clip(mflat // seg_bytes, 0, n_seg - 1) \
+            * seg_bytes
+        w0 = ((((d_rel >> 7) & 0xFFFF) << 16) | (rp << 9)
+              | (mlen & 0x1FF))
+        qv = d_rel - (mmetaf & 0xFFFF) - rp
+        w1 = ((size8 << 27) | (((qv >> 7) & 0x1FFF) << 7)
+              | (qv & 0x7F))
+        mw0 = w0.reshape(mmeta.shape)
+        mw1 = w1.reshape(mmeta.shape)
     offs = jnp.arange(n_seg, dtype=jnp.int32) * seg_bytes
     ends = offs + seg_bytes
     m_lo = jnp.searchsorted(mflat + mlen, offs, side="right").astype(jnp.int32)
@@ -781,7 +851,7 @@ def resolve_segmented_v15(ma, mb, ra, rb, lit, cnt, outlen, bob_cell,
     def seg_step(tail, inp):
         seg_body, lim = inp
         init = jnp.concatenate([pad, tail, seg_body, slack], axis=0)
-        out2d = walk_v15(init, lim, mdst, mmeta, rdst, rmeta, lit2d,
+        out2d = walk_v15(init, lim, mw0, mw1, rdst, rmeta, lit2d,
                          interpret=interpret)
         body = out2d[PAD // 128 + WIN_ROWS:-4]
         new_tail = out2d[-4 - WIN_ROWS:-4]

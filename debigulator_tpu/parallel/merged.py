@@ -107,7 +107,11 @@ def build_merged_plan(streams: list[bytes], records: bool = True,
     rec_parts = {k: [] for k in ("m_pos", "m_meta", "r_pos",
                                  "r_cell", "r_j0len", "r_lit0", "lit")}
     max_cell_tokens = 0
-    for p, prec in zip(plans, recs_list):
+    from debigulator_tpu.ops.phase_a_pallas import TC as _TC
+
+    tc_bits = _TC * v3.CELL_BITS
+
+    for p, prec, s in zip(plans, recs_list, streams):
         if have_recs:
             cell_base = bit_cursor // v3.CELL_BITS
             rec_parts["m_pos"].append(prec["m_pos"] + out_cursor)
@@ -123,28 +127,35 @@ def build_merged_plan(streams: list[bytes], records: bool = True,
             rec_parts["lit"].append(prec["lit_bytes"])
             lit_cursor += int(rln.sum())
             max_cell_tokens = max(max_cell_tokens, prec["max_cell_tokens"])
-        used_cells = int(np.count_nonzero(p.cell_block >= 0))  # all cells
-        # Used bit range = cells actually assigned (the tail of the pow2 pad
-        # belongs to block 0 by default fill — use the real extent):
-        used_bits = 0
-        # Real extent: the last compressed block's cells.
-        nz = np.nonzero(p.cell_entry >= 0)[0]
-        if len(nz):
-            # extent must cover every block's full cell range:
-            used_bits = p.n_bits
-            # trim trailing all-empty cells beyond the last block:
-            # (cell_block is 0-filled in padding; find last cell belonging
-            # to a real block via vbytes extent — conservative: keep n_bits)
-        used_bits = p.n_bits  # conservative: keep the pow2-padded extent
+        # Per-stream extent: trim the plan's pow2 bit padding to the real
+        # stream bytes, then round UP to a whole number of Phase A tiles
+        # (TC cells) so no tile ever spans two streams — mixed-stream
+        # tiles break the kernel's table-page locality (many small
+        # streams' blocks in one tile => ordinal range > PAGE => pa=None
+        # => the slow per-bit XLA fallback).  Tile-tail cells are empty
+        # (entry -1) and carry the stream's LAST block id (a 0 fill
+        # would also break page locality at the stream tail).
+        real_bits = min(p.n_bits, 8 * len(s))
+        used_bits = -(-real_bits // tc_bits) * tc_bits
         ncells = used_bits // v3.CELL_BITS
+        real_cells = -(-real_bits // v3.CELL_BITS)
 
-        vb_parts.append(p.vbytes[: used_bits // 8])
-        entries = p.cell_entry.astype(np.int64).copy()
+        def fit(a, fill, n=ncells):
+            out = np.full(n, fill, a.dtype)
+            m = min(len(a), n)
+            out[:m] = a[:m]
+            return out
+
+        vb_parts.append(fit(p.vbytes, 0, n=used_bits // 8))
+        entries = fit(p.cell_entry, -1).astype(np.int64)
         shift = entries >= 0
         entries[shift] += 2 * bit_cursor
         cell_entry_parts.append(entries)
-        cell_pend_parts.append(p.cell_pend)
-        cell_block_parts.append(p.cell_block + block_cursor)
+        cell_pend_parts.append(fit(p.cell_pend, 0))
+        cb_s = fit(p.cell_block, 0)
+        if 0 < real_cells < ncells:
+            cb_s[real_cells:] = cb_s[real_cells - 1]
+        cell_block_parts.append(cb_s + block_cursor)
 
         ll_parts["count"].append(p.ll_count)
         ll_parts["first"].append(p.ll_first)

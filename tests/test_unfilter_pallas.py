@@ -40,3 +40,24 @@ def test_fused_png_decode_matches_golden(monkeypatch):
     rgba = decode_png_device(raw)
     sha = hashlib.sha256(np.ascontiguousarray(rgba).tobytes()).hexdigest()
     assert sha == GOLDEN["font"]["sha256"]
+
+
+def test_fused_png_corpus_matches_host(monkeypatch):
+    """Fused corpus path (ONE merged inflate + per-image slice/Adler/
+    unfilter dispatches) equals the host decoder on small synthetic
+    images covering RGBA, RGB, and gray."""
+    monkeypatch.setenv("DBG_FORCE_FUSED_PNG", "1")
+    from debigulator_tpu.models import png_codec
+    from debigulator_tpu.models.pipeline import decode_png_corpus_device
+
+    rng = np.random.RandomState(7)
+    blobs = []
+    for h, w, ch in ((21, 13, 4), (16, 9, 3), (11, 30, 1)):
+        img = rng.randint(0, 256, (h, w, ch), dtype=np.uint8)
+        # Low-entropy rows so the encoder emits real matches, not stored.
+        img[::2] = img[0]
+        blobs.append(png_codec.encode_png(img))
+    imgs = decode_png_corpus_device(blobs)
+    for blob, got in zip(blobs, imgs):
+        exp = png_codec.decode_png(blob)
+        assert (np.asarray(got) == exp).all()
