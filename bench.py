@@ -269,6 +269,19 @@ def inner(backend: str) -> None:
             assert _z.decompress(out_enc, -15) == filt
             enc_mbps = len(filt) / enc_dt / 1e6
             enc_bytes = len(out_enc)
+            # Device+local-host number: input pre-staged, so the timed
+            # region is device dispatches + match-list readback + host
+            # bit packing — what a PCIe host pays (its ~2 ms h2d aside).
+            dev_filt = jax.device_put(
+                np.frombuffer(filt, dtype=np.uint8))
+            np.asarray(probe(dev_filt.astype(np.int32)))
+            t0 = time.time()
+            out_enc2 = deflate_fixed_device(
+                filt, stride=rw * 4 + 1, dev_data=dev_filt)
+            enc_dev_dt = time.time() - t0
+            assert out_enc2 == out_enc
+            detail["encode_device_mbps"] = round(
+                len(filt) / enc_dev_dt / 1e6, 1)
         except Exception as e:  # noqa: BLE001
             detail["encode_error"] = f"{type(e).__name__}: {e}"
 

