@@ -151,6 +151,8 @@ def inner(backend: str) -> None:
         out_one = inflate_device_v3(one)
         single_ms = (time.time() - t0) * 1e3
         assert out_one == z.decompress(one, -15)
+        body1, _ = inflate_device_v3_dev(one)
+        np.asarray(probe(body1))  # warm probe for this shape
         t0 = time.time()
         body1, _ = inflate_device_v3_dev(one)
         np.asarray(probe(body1))
