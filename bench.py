@@ -183,10 +183,14 @@ def inner(backend: str) -> None:
             avg = rgba.reshape(-1, 4).mean(axis=0).round().astype(int)
             assert list(avg) in ([248, 249, 251, 158], [249, 249, 251, 158])
 
-            # Device-side: same fused path, tiny probe sync instead of
-            # the full readback.
+            # Device-side: same fused path (packed one-transfer
+            # staging), tiny probe sync instead of the full readback.
+            import jax.numpy as jnp
+
             from debigulator_tpu.models import png_codec as _pc
-            from debigulator_tpu.models.pipeline import _png_fused_jit
+            from debigulator_tpu.models.pipeline import (
+                _png_fused_packed_jit,
+            )
             from debigulator_tpu.models.zlib_codec import parse_zlib_header
             from debigulator_tpu.ops import inflate_v3 as _v3
             from debigulator_tpu.ops.phase_a_pallas import build_pa_arrays
@@ -197,21 +201,25 @@ def inner(backend: str) -> None:
             from debigulator_tpu.ops.scanner import scan_stream_cells
 
             blocks, lengths, cells = scan_stream_cells(payload, _v3.CELL_BITS)
+            warmed = False
             t0 = time.time()
-            for _ in range(3):
+            for _ in range(4):
                 blocks, lengths, cells = scan_stream_cells(
                     payload, _v3.CELL_BITS)
                 plan = _v3.build_plan_v3(payload, blocks, lengths, cells=cells)
-                pa = build_pa_arrays(plan)
-                arrays = _v3.plan_arrays_v7(plan)
+                pa = build_pa_arrays(plan, stage=False)
+                buf, metas = _v3.pack_stage_arrays(pa, plan)
                 n_seg = _v3._round_pow2(
                     max(1, -(-plan.out_size // _v3.SEG_BYTES)), 1)
-                pix, adler, _ = _png_fused_jit()(
-                    pa, arrays, plan.slots, n_seg,
+                pix, adler, _ = _png_fused_packed_jit()(
+                    jnp.asarray(buf), metas, slots=plan.slots, n_seg=n_seg,
                     out_size=plan.out_size, h=ch.info.height,
                     w=ch.info.width, bpp=ch.info.bpp, expand_rgb=False,
                     interpret=False)
                 np.asarray(probe(pix))
+                if not warmed:  # first rep may pay a fresh compile
+                    warmed = True
+                    t0 = time.time()
             png_dev_dt = (time.time() - t0) / 3
             png_dev_mbps = rgba.nbytes / png_dev_dt / 1e6
 
@@ -235,6 +243,7 @@ def inner(backend: str) -> None:
             imgs = decode_png_corpus_device(blobs)
             corpus_dt = time.time() - t0
             png_corpus_mbps = rgba_bytes / corpus_dt / 1e6
+            pix = decode_png_corpus_device(blobs, as_numpy=False)  # warm
             t0 = time.time()
             pix = decode_png_corpus_device(blobs, as_numpy=False)
             np.asarray(probe(pix[-1]))

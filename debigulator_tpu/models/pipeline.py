@@ -132,6 +132,37 @@ def _png_fused_jit():
     return _PNG_FUSED
 
 
+_PNG_FUSED_PACKED = None
+
+
+def _png_fused_packed(buf, metas, slots, n_seg, out_size, h, w, bpp,
+                      expand_rgb, interpret):
+    """_png_fused fed by the ONE-transfer packed staging buffer."""
+    from debigulator_tpu.ops.inflate_v3 import _PACK_KEYS, unpack_stage_arrays
+
+    d = unpack_stage_arrays(buf, metas)
+    pa = {k: d[k] for k in _PACK_KEYS}
+    arrays = {"stored_pos": d["stored_pos"],
+              "stored_val": d["stored_val"]}
+    return _png_fused(pa, arrays, slots, n_seg, out_size, h, w, bpp,
+                      expand_rgb, interpret)
+
+
+def _png_fused_packed_jit():
+    global _PNG_FUSED_PACKED
+    if _PNG_FUSED_PACKED is None:
+        import functools
+
+        import jax
+
+        _PNG_FUSED_PACKED = functools.partial(
+            jax.jit,
+            static_argnames=("metas", "slots", "n_seg", "out_size", "h",
+                             "w", "bpp", "expand_rgb", "interpret"),
+        )(_png_fused_packed)
+    return _PNG_FUSED_PACKED
+
+
 def decode_png_device(data, verify_crc: bool = True, verify_adler: bool = True):
     """PNG decode, device-resident end to end: inflate + Adler + unfilter
     + RGBA expansion all run as ONE fused jit dispatch — the only host
@@ -158,7 +189,8 @@ def decode_png_device(data, verify_crc: bool = True, verify_adler: bool = True):
     expected_size = info.height * (1 + info.stride)
     blocks, lengths, cells = scan_stream_cells(payload, v3.CELL_BITS)
     plan = v3.build_plan_v3(payload, blocks, lengths, cells=cells)
-    pa = build_pa_arrays(plan) if plan.exact_entries else None
+    pa = (build_pa_arrays(plan, stage=False)
+          if plan.exact_entries else None)
     fits = skew_bytes(info.height, info.width, info.bpp) <= MAX_SKEW_BYTES
     on_tpu = jax.default_backend() not in ("cpu",)
     force = bool(__import__("os").environ.get("DBG_FORCE_FUSED_PNG"))
@@ -172,12 +204,16 @@ def decode_png_device(data, verify_crc: bool = True, verify_adler: bool = True):
         raise png_codec.PngError(
             f"decompressed size {plan.out_size} != expected {expected_size}"
         )
-    arrays = v3.plan_arrays_v7(plan)
+    # ONE-transfer packed staging (each separate host->device array
+    # costs ~21 ms of tunnel latency; a fresh image stages 7).
+    buf, metas = v3.pack_stage_arrays(pa, plan)
     n_seg = v3._round_pow2(max(1, -(-plan.out_size // v3.SEG_BYTES)), 1)
     plog.mark("scan")
     ct = info.color_type
-    pix, adler, overflow = _png_fused_jit()(
-        pa, arrays, plan.slots, n_seg,
+    import jax.numpy as jnp
+
+    pix, adler, overflow = _png_fused_packed_jit()(
+        jnp.asarray(buf), metas, slots=plan.slots, n_seg=n_seg,
         out_size=plan.out_size, h=info.height, w=info.width,
         bpp=info.bpp, expand_rgb=(ct == C.PNG_COLOR_RGB),
         interpret=not on_tpu,

@@ -1107,21 +1107,34 @@ def inflate_device_v3_dev(data: bytes, slots: int = DEFAULT_SLOTS,
     if use_pallas and exact:
         # Flagship device-resident path for ANY output size: Pallas Phase A
         # (on-chip Huffman decode, v13 op/lit tapes) + op-walk Phase B.
+        import os as _os
+
         from debigulator_tpu.ops.phase_a_pallas import build_pa_arrays
 
-        pa = build_pa_arrays(plan)
+        pa = build_pa_arrays(plan, stage=False)
         if pa is not None:
-            arrays7 = plan_arrays_v7(plan)
             n_seg = _round_pow2(max(1, -(-plan.out_size // SEG_BYTES)), 1)
             interp = jax.default_backend() == "cpu"
-            jit_fn = flagship_jit()
-            body, overflow = jit_fn(
-                pa, arrays7, plan.slots, n_seg, interpret=interp,
-            )
+            if _os.environ.get("DBG_PHASE_B", "v15") != "v13":
+                # ONE-transfer packed staging (tunnel latency is
+                # ~21 ms per separate host->device array).
+                buf, metas = pack_stage_arrays(pa, plan)
+                dev_buf = jnp.asarray(buf)
+
+                def call(slots):
+                    return _inflate_v15_packed_jit(
+                        dev_buf, metas, slots, n_seg, interpret=interp)
+            else:
+                pa = {k: jnp.asarray(v) for k, v in pa.items()}
+                arrays7 = plan_arrays_v7(plan)
+
+                def call(slots):
+                    return flagship_jit()(
+                        pa, arrays7, slots, n_seg, interpret=interp)
+
+            body, overflow = call(plan.slots)
             if not plan.slots_exact and bool(overflow):
-                body, overflow = jit_fn(
-                    pa, arrays7, CELL_BITS, n_seg, interpret=interp,
-                )
+                body, overflow = call(CELL_BITS)
                 assert not bool(overflow)
             return body, plan.out_size
 
@@ -1316,6 +1329,64 @@ def _inflate_v15_jit(pa, arrays, slots, n_seg, interpret=False):
     walk (scalar discovery pass, flat pipelined execution).  See
     ops.phase_b_v15 for the design; Phase A is unchanged from v13.
     """
+    return flagship_body(pa, arrays, slots, n_seg, interpret=interpret)
+
+
+# --- one-transfer staging ---------------------------------------------------
+# Each host->device transfer costs ~21 ms of latency on the dev tunnel,
+# and a fresh merged call stages 7 arrays (5 Phase A + 2 stored-bytes).
+# pack_stage_arrays flattens them into ONE uint8 buffer on the host;
+# unpack_stage_arrays rebuilds the typed views INSIDE the jit with
+# static slices + bitcasts (free: XLA folds them into the consumers).
+
+_PACK_KEYS = ("tile_pb", "cellw", "params", "ll_planes", "d_planes")
+
+
+def pack_stage_arrays(pa_np: dict, plan) -> tuple[np.ndarray, tuple]:
+    """Flatten Phase A arrays + stored bytes into (uint8 buffer, metas).
+
+    pa_np: build_pa_arrays output (numpy or jax arrays accepted).
+    metas is a hashable static spec: (name, dtype str, shape, off, nb).
+    """
+    items = [(k, np.asarray(pa_np[k])) for k in _PACK_KEYS]
+    items.append(("stored_pos", np.asarray(plan.stored_pos, np.int32)))
+    items.append(("stored_val", np.asarray(plan.stored_val, np.uint8)))
+    metas = []
+    off = 0
+    for name, a in items:
+        off = -(-off // 4) * 4  # 4-byte alignment for bitcasts
+        nb = a.nbytes
+        metas.append((name, a.dtype.str, a.shape, off, nb))
+        off += nb
+    buf = np.zeros(off, np.uint8)
+    for (name, _, _, o, nb), (_, a) in zip(metas, items):
+        buf[o : o + nb] = np.ascontiguousarray(a).view(np.uint8).reshape(-1)
+    return buf, tuple(metas)
+
+
+def unpack_stage_arrays(buf, metas) -> dict:
+    """Traced inverse of pack_stage_arrays (static slices + bitcasts)."""
+    out = {}
+    for name, dstr, shape, off, nb in metas:
+        dt = np.dtype(dstr)
+        seg = jax.lax.slice(buf, (off,), (off + nb,))
+        if dt.itemsize == 1:
+            arr = jax.lax.bitcast_convert_type(seg, dt)
+        else:
+            arr = jax.lax.bitcast_convert_type(
+                seg.reshape(-1, dt.itemsize), dt)
+        out[name] = arr.reshape(shape)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metas", "slots", "n_seg", "interpret"),
+)
+def _inflate_v15_packed_jit(buf, metas, slots, n_seg, interpret=False):
+    """Flagship v15 fed by the ONE-transfer packed staging buffer."""
+    d = unpack_stage_arrays(buf, metas)
+    pa = {k: d[k] for k in _PACK_KEYS}
+    arrays = {"stored_pos": d["stored_pos"], "stored_val": d["stored_val"]}
     return flagship_body(pa, arrays, slots, n_seg, interpret=interpret)
 
 

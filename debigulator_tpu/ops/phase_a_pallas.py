@@ -349,9 +349,12 @@ def pa_coverable(plan) -> bool:
     return not np.any(cb2.max(axis=1) - pb * PAGE_STRIDE >= PAGE)
 
 
-def build_pa_arrays(plan) -> dict | None:
+def build_pa_arrays(plan, stage: bool = True) -> dict | None:
     """Host prep for the fused kernel, or None when it can't cover the
-    plan (speculative mode, or a tile spanning more than one table page)."""
+    plan (speculative mode, or a tile spanning more than one table page).
+
+    stage=False returns host numpy arrays (for the one-transfer packed
+    staging path, inflate_v3.pack_stage_arrays)."""
     if not plan.exact_entries:
         return None
     num_cells = plan.num_cells
@@ -445,13 +448,16 @@ def build_pa_arrays(plan) -> dict | None:
         cellw[4, :num_cells] = bob
         cellw[4, num_cells:] = bob[-1]
 
-    return {
-        "tile_pb": jnp.asarray(pb.astype(np.int32)),
-        "cellw": jnp.asarray(cellw),
-        "params": jnp.asarray(params),
-        "ll_planes": jnp.asarray(planes_of(plan.ll_aug, 288)),
-        "d_planes": jnp.asarray(planes_of(plan.d_aug, 32)),
+    out = {
+        "tile_pb": pb.astype(np.int32),
+        "cellw": cellw,
+        "params": params,
+        "ll_planes": planes_of(plan.ll_aug, 288),
+        "d_planes": planes_of(plan.d_aug, 32),
     }
+    if stage:
+        out = {k: jnp.asarray(v) for k, v in out.items()}
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -432,22 +432,35 @@ def prepare_merged(mp: MergedPlan, interpret: bool | None = None,
 
             return run
 
-    pa = build_pa_arrays(plan) if plan.exact_entries else None
-    if pa is not None:
-        # Flagship v13: minimal staged arrays (bob_cell + stored bytes).
-        arrays = v3.plan_arrays_v7(plan)
-    else:
-        arrays = v3.plan_arrays_v3(plan)
+    import os as _os
 
-    def call(slots: int):
-        if pa is not None:
+    pa_np = (build_pa_arrays(plan, stage=False)
+             if plan.exact_entries else None)
+    if pa_np is not None and _os.environ.get("DBG_PHASE_B", "v15") != "v13":
+        # Flagship v15 with ONE-transfer packed staging (each separate
+        # host->device array costs ~21 ms of tunnel latency).
+        buf, metas = v3.pack_stage_arrays(pa_np, plan)
+        dev_buf = jnp.asarray(buf)
+
+        def call(slots: int):
+            return v3._inflate_v15_packed_jit(
+                dev_buf, metas, slots, n_seg, interpret=interpret)
+    elif pa_np is not None:
+        pa = {k: jnp.asarray(v) for k, v in pa_np.items()}
+        arrays = v3.plan_arrays_v7(plan)
+
+        def call(slots: int):
             return v3.flagship_jit()(
                 pa, arrays, slots, n_seg, interpret=interpret,
             )
-        return v3._inflate_v5_jit(
-            arrays, plan.n_bits, slots, n_seg,
-            exact=plan.exact_entries, interpret=interpret,
-        )
+    else:
+        arrays = v3.plan_arrays_v3(plan)
+
+        def call(slots: int):
+            return v3._inflate_v5_jit(
+                arrays, plan.n_bits, slots, n_seg,
+                exact=plan.exact_entries, interpret=interpret,
+            )
 
     # Tape overflow is a property of the PLAN (slot bound vs densest cell),
     # not of the data flowing through a given call.  With scanner-exact
