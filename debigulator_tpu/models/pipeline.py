@@ -138,12 +138,9 @@ _PNG_FUSED_PACKED = None
 def _png_fused_packed(buf, metas, slots, n_seg, out_size, h, w, bpp,
                       expand_rgb, interpret):
     """_png_fused fed by the ONE-transfer packed staging buffer."""
-    from debigulator_tpu.ops.inflate_v3 import _PACK_KEYS, unpack_stage_arrays
+    from debigulator_tpu.ops.inflate_v3 import unpack_pa_arrays
 
-    d = unpack_stage_arrays(buf, metas)
-    pa = {k: d[k] for k in _PACK_KEYS}
-    arrays = {"stored_pos": d["stored_pos"],
-              "stored_val": d["stored_val"]}
+    pa, arrays = unpack_pa_arrays(buf, metas)
     return _png_fused(pa, arrays, slots, n_seg, out_size, h, w, bpp,
                       expand_rgb, interpret)
 

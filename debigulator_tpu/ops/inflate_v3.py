@@ -1347,8 +1347,16 @@ def pack_stage_arrays(pa_np: dict, plan) -> tuple[np.ndarray, tuple]:
 
     pa_np: build_pa_arrays output (numpy or jax arrays accepted).
     metas is a hashable static spec: (name, dtype str, shape, off, nb).
+    cellw row 2 (the 32-bit lookahead word) is w0 shifted by one cell,
+    so only rows (0, 1, 3, 4) ship; unpack_pa_arrays rebuilds row 2
+    with one in-jit roll — 20% off the largest staged array.
     """
-    items = [(k, np.asarray(pa_np[k])) for k in _PACK_KEYS]
+    cellw = np.asarray(pa_np["cellw"])
+    items = [("tile_pb", np.asarray(pa_np["tile_pb"])),
+             ("cellw4", np.ascontiguousarray(cellw[[0, 1, 3, 4], :])),
+             ("params", np.asarray(pa_np["params"])),
+             ("ll_planes", np.asarray(pa_np["ll_planes"])),
+             ("d_planes", np.asarray(pa_np["d_planes"]))]
     items.append(("stored_pos", np.asarray(plan.stored_pos, np.int32)))
     items.append(("stored_val", np.asarray(plan.stored_val, np.uint8)))
     metas = []
@@ -1379,14 +1387,24 @@ def unpack_stage_arrays(buf, metas) -> dict:
     return out
 
 
+def unpack_pa_arrays(buf, metas) -> tuple[dict, dict]:
+    """Traced: packed buffer -> (pa dict, stored arrays dict)."""
+    d = unpack_stage_arrays(buf, metas)
+    c4 = d.pop("cellw4")
+    w2 = jnp.concatenate(
+        [c4[0, 1:], jnp.zeros((1,), c4.dtype)])  # lookahead = w0 << 1 cell
+    d["cellw"] = jnp.stack([c4[0], c4[1], w2, c4[2], c4[3]])
+    pa = {k: d[k] for k in _PACK_KEYS}
+    arrays = {"stored_pos": d["stored_pos"], "stored_val": d["stored_val"]}
+    return pa, arrays
+
+
 @functools.partial(
     jax.jit, static_argnames=("metas", "slots", "n_seg", "interpret"),
 )
 def _inflate_v15_packed_jit(buf, metas, slots, n_seg, interpret=False):
     """Flagship v15 fed by the ONE-transfer packed staging buffer."""
-    d = unpack_stage_arrays(buf, metas)
-    pa = {k: d[k] for k in _PACK_KEYS}
-    arrays = {"stored_pos": d["stored_pos"], "stored_val": d["stored_val"]}
+    pa, arrays = unpack_pa_arrays(buf, metas)
     return flagship_body(pa, arrays, slots, n_seg, interpret=interpret)
 
 
