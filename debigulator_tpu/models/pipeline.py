@@ -379,19 +379,30 @@ def decode_png_corpus_device(datas: list[bytes], verify_crc: bool = True,
     else:
         scans = [scan_one(streams[0])]
     cover = [pa_coverable(pl) for _, pl in scans]
+
+    # Chunk the merged batch under the v15 run-meta lit-row bound
+    # (2^18 slots-packed lit rows per call); 2x margin covers the
+    # merged plan's global pow2 bit rounding.  Cell counts come from the
+    # plan's TRUE used extent (block cell-alignment can exceed the raw
+    # byte length on flush-heavy streams).  A stream whose lit-tape
+    # footprint alone exceeds the cap routes to the per-image fallback
+    # below instead of crashing the merged call (ADVICE item 4).
+    from debigulator_tpu.ops.phase_a_pallas import TC
+
+    cap = 1 << 18
+    for i, c in enumerate(cover):
+        if not c:
+            continue
+        cells_i = -(-scans[i][1].used_bits // (TC * v3.CELL_BITS)) * TC
+        if 2 * cells_i * scans[i][1].slots // 128 > cap:
+            cover[i] = False
     idx_a = [i for i, c in enumerate(cover) if c]
     if not idx_a:
         return decode_png_batch(datas, verify_crc=verify_crc)
 
-    # Chunk the merged batch under the v15 run-meta lit-row bound
-    # (2^18 slots-packed lit rows per call); 2x margin covers the
-    # merged plan's global pow2 bit rounding.
-    from debigulator_tpu.ops.phase_a_pallas import TC
-
-    cap = 1 << 18
     chunks, cur, cur_cells, cur_slots = [], [], 0, 1
     for i in idx_a:
-        cells_i = -(-8 * len(streams[i]) // (TC * v3.CELL_BITS)) * TC
+        cells_i = -(-scans[i][1].used_bits // (TC * v3.CELL_BITS)) * TC
         new_slots = max(cur_slots, scans[i][1].slots)
         if cur and 2 * (cur_cells + cells_i) * new_slots // 128 > cap:
             chunks.append(cur)

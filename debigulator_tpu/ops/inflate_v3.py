@@ -121,6 +121,13 @@ class PlanV3:
     #: True when `slots` is the scanner's exact per-cell token bound —
     #: tape overflow is impossible and no device probe is needed.
     slots_exact: bool = False
+    #: Real virtual-layout extent in bits (the layout cursor BEFORE pow2
+    #: rounding; >= one cell).  This can EXCEED 8*len(stream): each
+    #: compressed block pads to cell alignment, so flush-heavy streams
+    #: (e.g. Z_PARTIAL_FLUSH / Z_FIXED with many tiny blocks) use up to
+    #: CELL_BITS-1 extra virtual bits per block.  Merged-plan trimming
+    #: must use this, never the raw byte length.
+    used_bits: int = 0
 
 
 def _make_litlen_aug_table() -> np.ndarray:
@@ -296,6 +303,7 @@ def build_plan_v3(data: bytes, blocks: list[BlockInfo], block_lengths,
         exact_entries=exact,
         cell_pend=cell_pend,
         slots_exact=slots_exact,
+        used_bits=n_bits_used,
     )
 
 

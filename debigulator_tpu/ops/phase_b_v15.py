@@ -59,10 +59,29 @@ BIG = 1 << 30
 NCH = 4
 
 # Attribution-only skip flags (tools/trace_v15.py): never set in
-# production — outputs are WRONG with any of these on.
+# production — outputs are WRONG with any of these on.  Fail CLOSED: the
+# flag only takes effect with the explicit acknowledgement variable also
+# set (the trace tool sets it); a leftover DBG_V15_SKIP in a serving
+# process raises here instead of silently corrupting every decode.
+# Read once at import so a traced/jit-cached kernel can never disagree
+# with the current environment.
 import os as _os
+import sys as _sys
 
 _SKIP = _os.environ.get("DBG_V15_SKIP", "")
+if _SKIP and _os.environ.get("DBG_V15_SKIP_ACK") != "unsafe":
+    raise RuntimeError(
+        "DBG_V15_SKIP is set but DBG_V15_SKIP_ACK=unsafe is not: these "
+        "attribution-only flags make every v15 decode output WRONG and "
+        "are refused outside the trace tool (tools/trace_v15.py)."
+    )
+if _SKIP:
+    print(
+        f"WARNING: phase_b_v15 imported with DBG_V15_SKIP={_SKIP!r} — "
+        "kernel sections are DISABLED and all decode outputs are WRONG "
+        "(trace-attribution mode).",
+        file=_sys.stderr,
+    )
 
 #: Cells per compact-kernel chunk (input rows/chunk = CHUNK_CELLS*slots/128).
 #: Matches phase_a_pallas.TC so cells_pad always divides evenly.
@@ -736,10 +755,13 @@ def resolve_segmented_v15(ma, mb, ra, rb, lit, cnt, outlen, bob_cell,
     assert cells_pad % CHUNK_CELLS == 0
     # Run meta packs the lit row in bits 14..31 (logical extraction):
     # one merged call is bounded at 2^18 lit-tape rows — batch drivers
-    # must chunk above that (decode_png_corpus_device does).
-    assert cells_pad * slots // 128 <= (1 << 18), (
-        f"lit tape {cells_pad * slots // 128} rows exceeds the run-meta "
-        "field; split the batch")
+    # must chunk above that (decode_png_corpus_device does).  Real
+    # errors (not asserts): python -O must not turn field overflow into
+    # silent output corruption.
+    if cells_pad * slots // 128 > (1 << 18):
+        raise ValueError(
+            f"lit tape {cells_pad * slots // 128} rows exceeds the "
+            "run-meta field (2^18); split the batch")
     n_chunks = cells_pad // CHUNK_CELLS
     in_rows = CHUNK_CELLS * slots // 128
     cap_rows = in_rows + 2
@@ -807,7 +829,10 @@ def resolve_segmented_v15(ma, mb, ra, rb, lit, cnt, outlen, bob_cell,
     # with rows relative to the record's OWNING segment (dst //
     # seg_bytes) and q = src - rp the span-load byte base (qrow_rel
     # signed, >= -WINDOW/128 - 1 for window-replay sources).
-    assert seg_bytes // 128 <= 4096, "qrow field needs seg_rows <= 4096"
+    if seg_bytes // 128 > 4096:
+        raise ValueError(
+            f"seg_bytes {seg_bytes} gives seg_rows > 4096: the 13-bit "
+            "qrow exec-word field would overflow")
     with named_scope("v15_size8"):
         req = mflat - (mmetaf & 0xFFFF) + mlen
         rp = mflat & 127

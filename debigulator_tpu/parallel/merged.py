@@ -127,15 +127,18 @@ def build_merged_plan(streams: list[bytes], records: bool = True,
             rec_parts["lit"].append(prec["lit_bytes"])
             lit_cursor += int(rln.sum())
             max_cell_tokens = max(max_cell_tokens, prec["max_cell_tokens"])
-        # Per-stream extent: trim the plan's pow2 bit padding to the real
-        # stream bytes, then round UP to a whole number of Phase A tiles
-        # (TC cells) so no tile ever spans two streams — mixed-stream
-        # tiles break the kernel's table-page locality (many small
-        # streams' blocks in one tile => ordinal range > PAGE => pa=None
-        # => the slow per-bit XLA fallback).  Tile-tail cells are empty
-        # (entry -1) and carry the stream's LAST block id (a 0 fill
-        # would also break page locality at the stream tail).
-        real_bits = min(p.n_bits, 8 * len(s))
+        # Per-stream extent: trim the plan's pow2 bit padding to the plan's
+        # TRUE used virtual extent, then round UP to a whole number of
+        # Phase A tiles (TC cells) so no tile ever spans two streams —
+        # mixed-stream tiles break the kernel's table-page locality (many
+        # small streams' blocks in one tile => ordinal range > PAGE =>
+        # pa=None => the slow per-bit XLA fallback).  Tile-tail cells are
+        # empty (entry -1) and carry the stream's LAST block id (a 0 fill
+        # would also break page locality at the stream tail).  NB: the
+        # virtual layout cell-aligns every block, so used_bits can exceed
+        # 8*len(s) on flush-heavy streams — trimming to the raw byte
+        # length dropped live cells (round-4 regression, ADVICE item 1).
+        real_bits = p.used_bits
         used_bits = -(-real_bits // tc_bits) * tc_bits
         ncells = used_bits // v3.CELL_BITS
         real_cells = -(-real_bits // v3.CELL_BITS)

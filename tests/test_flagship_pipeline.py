@@ -103,6 +103,34 @@ def test_merged_batch_v13():
     assert outs == datas
 
 
+def test_merged_flush_heavy_fixed_trim():
+    """Regression (round-4 ADVICE item 1): fixed-Huffman flush-heavy
+    streams pad up to 61 net bits per block on the cell-aligned virtual
+    stream, so a plan's used virtual extent can EXCEED 8*len(stream).
+    Trimming the merged plan to the raw byte length dropped live cells
+    and silently corrupted every merged decode of such streams."""
+    from debigulator_tpu.parallel.merged import decode_merged
+
+    piece = b"flush-heavy block content of 66 bytes padding padding paddingXY\n"
+    c = zlib.compressobj(6, zlib.DEFLATED, -15, 9, zlib.Z_FIXED)
+    parts, data = [], b""
+    for _ in range(800):
+        parts.append(c.compress(piece))
+        parts.append(c.flush(zlib.Z_PARTIAL_FLUSH))
+        data += piece
+    parts.append(c.flush())
+    stream = b"".join(parts)
+    plan = v3.build_plan_v3(stream, *scan_stream_cells(stream, v3.CELL_BITS)[:2],
+                            cells=scan_stream_cells(stream, v3.CELL_BITS)[2])
+    assert plan.used_bits > 8 * len(stream)  # the hazardous shape
+    (out,) = decode_merged([stream])
+    assert out == data
+    # And mixed with a normal stream (exercises the per-stream rebase).
+    normal = _deflate(b"normal text " * 500)
+    outs = decode_merged([stream, normal])
+    assert outs == [data, b"normal text " * 500]
+
+
 def test_v14_experiment_matches_v13():
     """The v14 Phase B experiment (compaction-once + dense-list walk)
     stays bit-exact vs the flagship on a mixed stream."""

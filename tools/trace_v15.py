@@ -6,10 +6,17 @@ Usage: python tools/trace_v15.py [K]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# The trace tool is the ONE sanctioned user of the attribution-only
+# DBG_V15_SKIP flags; acknowledge before phase_b_v15 imports (it fails
+# closed without this — outputs are wrong with any section skipped).
+if os.environ.get("DBG_V15_SKIP"):
+    os.environ["DBG_V15_SKIP_ACK"] = "unsafe"
 
 from debigulator_tpu.utils.config import setup_jax_cache
 
