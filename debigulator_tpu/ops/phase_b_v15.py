@@ -304,11 +304,30 @@ def compact_v15(dm, mm, dr, mr, mbase, rbase, dm_init, mm_init,
 # ---------------------------------------------------------------------------
 
 
-def _walk_kernel(lim_ref, mw0_hbm, mw1_hbm, rdst_hbm, rmeta_hbm,
-                 lit_hbm, init_ref, out_ref):
-    """One segment: literal-run flushes + frontier-batched match walk.
+def _walk_kernel_v16(lims_ref, mw0_hbm, mw1_hbm, rdst_hbm, rmeta_hbm,
+                     lit_hbm, init_hbm, out_hbm,
+                     out_ref, w0_s, w1_s, sched_s, rd_s, rm_s, lit_v, sems,
+                     *, seg_rows: int):
+    """v16: ALL segments in ONE gridded pallas_call, segment resident in
+    VMEM scratch.
 
-    lim: (8,) SMEM = (m_lo, m_lo2, m_hi2, m_hi, r_lo, r_hi, seg_off, 0).
+    The v15 harness ran one pallas_call per segment inside a lax.scan,
+    paying a per-call floor (~200 us: XLA concat of pad+tail+body+slack,
+    dispatch, full-buffer VMEM in/out) 32 times per 16 MB batch — the
+    "glue/scan ~13 ms" line in the round-4b decomposition.  Here the
+    grid axis IS the segment loop (TPU grid steps run sequentially on
+    the core, and scratch persists across steps):
+
+    * `out_ref` (scratch, PAD+WINDOW+SEG+slack rows) holds the live
+      segment; the 32 KiB window prologue for step s is COPIED from the
+      scratch tail of step s-1 — the window never round-trips HBM;
+    * the segment body init (zeros + scattered stored-block bytes)
+      DMAs in from `init_hbm` (aliased with the output), and the
+      finished body DMAs out to `out_hbm`; the writeback overlaps the
+      next segment's run flushes (only waited two steps later).
+
+    lims_ref: (n_seg, 8) scalar-prefetch = per-segment
+    (m_lo, m_lo2, m_hi2, m_hi, r_lo, r_hi, seg_off, 0).
     Matches [m_lo, m_lo2) replay with head clipping (window-crossing),
     [m_lo2, m_hi2) run clip-free in scheduled batches, [m_hi2, m_hi)
     clip at the segment end.  Runs [r_lo, r_hi) flush from the lit
@@ -333,18 +352,49 @@ def _walk_kernel(lim_ref, mw0_hbm, mw1_hbm, rdst_hbm, rmeta_hbm,
     EXECUTION is then a flat fori over sub-batches whose loads/stores
     pipeline freely — measured 4.6 ns/slot vs ~470 ns/batch for the
     interleaved discover-and-execute while-loop (two vector<->scalar
-    syncs per batch).
+    syncs per batch); the sched word for sub-batch e+1 is prefetched as
+    a loop carry so its SMEM-load -> address chain overlaps sub-batch
+    e's vector work.
     """
-    del init_ref
+    s = pl.program_id(0)
+    pad_rows = PAD // 128
+    body_row0 = pad_rows + WIN_ROWS
     body_start = PAD + WINDOW
-    body_end = (out_ref.shape[0] - 4) * 128
-    m_lo = lim_ref[0]
-    m_lo2 = lim_ref[1]
-    m_hi2 = lim_ref[2]
-    m_hi = lim_ref[3]
-    r_lo = lim_ref[4]
-    r_hi = lim_ref[5]
-    seg_off = lim_ref[6]
+    body_end = body_start + seg_rows * 128
+
+    @pl.when(s == 0)
+    def _():
+        out_ref[pl.ds(0, body_row0), :] = jnp.zeros(
+            (body_row0, 128), jnp.int32)
+        out_ref[pl.ds(body_row0 + seg_rows, 4), :] = jnp.zeros(
+            (4, 128), jnp.int32)
+
+    @pl.when(s > 0)
+    def _():
+        # Window prologue = previous segment's scratch tail (never
+        # round-trips HBM).  Reads the body region the s-1 writeback is
+        # also reading — safe; the body overwrite below waits first.
+        out_ref[pl.ds(pad_rows, WIN_ROWS), :] = out_ref[
+            pl.ds(body_row0 + seg_rows - WIN_ROWS, WIN_ROWS), :]
+        pltpu.make_async_copy(
+            out_ref.at[pl.ds(body_row0, seg_rows)],
+            out_hbm.at[pl.ds((s - 1) * seg_rows, seg_rows), :],
+            sems.at[7]).wait()
+
+    pltpu.make_async_copy(
+        init_hbm.at[pl.ds(s * seg_rows, seg_rows), :],
+        out_ref.at[pl.ds(body_row0, seg_rows)], sems.at[8]).start()
+    pltpu.make_async_copy(
+        init_hbm.at[pl.ds(s * seg_rows, seg_rows), :],
+        out_ref.at[pl.ds(body_row0, seg_rows)], sems.at[8]).wait()
+
+    m_lo = lims_ref[s, 0]
+    m_lo2 = lims_ref[s, 1]
+    m_hi2 = lims_ref[s, 2]
+    m_hi = lims_ref[s, 3]
+    r_lo = lims_ref[s, 4]
+    r_hi = lims_ref[s, 5]
+    seg_off = lims_ref[s, 6]
     base_adj = body_start - seg_off
     flat4 = jax.lax.broadcasted_iota(jnp.int32, (SPAN_ROWS, 128), 0) * 128 + \
         jax.lax.broadcasted_iota(jnp.int32, (SPAN_ROWS, 128), 1)
@@ -358,7 +408,6 @@ def _walk_kernel(lim_ref, mw0_hbm, mw1_hbm, rdst_hbm, rmeta_hbm,
     REGCAP = SCHED_CAP // NCH
 
     ROWB = body_start // 128
-    seg_rows = (body_end - body_start) // 128
 
     def body(w0_s, w1_s, sched_s, rd_s, rm_s, lit_v, sems):
         def copy_clipped(src, dst, length):
@@ -630,8 +679,13 @@ def _walk_kernel(lim_ref, mw0_hbm, mw1_hbm, rdst_hbm, rmeta_hbm,
             lane2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
 
             def group(rb):
-                def body(e, _):
-                    w = sched_s[rb + e]
+                def body(e, wcur):
+                    # Sched word prefetched as the loop carry: the SMEM
+                    # load -> start -> 16 word-load address chain for
+                    # sub-batch e+1 overlaps sub-batch e's vector work
+                    # (the chain was ~80 ns/group of the measured
+                    # sched-indirection cost).
+                    w = wcur
                     start = w & 0x7FFF
                     size = w >> 24
                     datas, drows, rps, lens = [], [], [], []
@@ -669,7 +723,7 @@ def _walk_kernel(lim_ref, mw0_hbm, mw1_hbm, rdst_hbm, rmeta_hbm,
                             pltpu.store(
                                 out_ref.at[pl.ds(drows[t], 2), :],
                                 datas[t], mask=mask)
-                    return 0
+                    return sched_s[rb + e + 1]
                 return body
 
             if "exec" not in _SKIP and "chase" not in _SKIP:
@@ -678,15 +732,20 @@ def _walk_kernel(lim_ref, mw0_hbm, mw1_hbm, rdst_hbm, rmeta_hbm,
                     k_i, nf_i = fin[3 * i + 1], fin[3 * i + 2]
                     grp = group(rb)
 
-                    def per_flag(fi, prev_e, rb=rb, grp=grp):
+                    def grp_range(lo, hi, rb=rb, grp=grp):
+                        # Initial carry = first sched word (a garbage
+                        # read when lo == hi — never executed).
+                        jax.lax.fori_loop(lo, hi, grp, sched_s[rb + lo])
+
+                    def per_flag(fi, prev_e, rb=rb, grp_range=grp_range):
                         wj = sched_s[rb + REGCAP - 1 - fi]
                         ke = wj >> 15
-                        jax.lax.fori_loop(prev_e, ke, grp, 0)
+                        grp_range(prev_e, ke)
                         serial_one(wj & 0x7FFF)
                         return ke
 
                     prev_e = jax.lax.fori_loop(0, nf_i, per_flag, 0)
-                    jax.lax.fori_loop(prev_e, k_i, grp, 0)
+                    grp_range(prev_e, k_i)
 
             # epilogue: tail-clip matches in this sub-range
             def epi(j, _):
@@ -698,37 +757,60 @@ def _walk_kernel(lim_ref, mw0_hbm, mw1_hbm, rdst_hbm, rmeta_hbm,
                                   jnp.minimum(m_hi, sub_end), epi, 0)
             return sub_end
 
-        def m_cond(s):
-            return s < m_hi
+        def m_cond(sm):
+            return sm < m_hi
 
         if "match" not in _SKIP:
             jax.lax.while_loop(m_cond, match_subrange, m_lo)
 
-    pl.run_scoped(
-        body,
-        w0_s=pltpu.SMEM((SUB_ROWS, 128), jnp.int32),
-        w1_s=pltpu.SMEM((SUB_ROWS, 128), jnp.int32),
-        sched_s=pltpu.SMEM((SUB_ROWS * 128 + 8,), jnp.int32),
-        rd_s=pltpu.SMEM((RUN_SUB_ROWS, 128), jnp.int32),
-        rm_s=pltpu.SMEM((RUN_SUB_ROWS, 128), jnp.int32),
-        lit_v=pltpu.VMEM((LIT_WIN_ROWS, 128), jnp.int32),
-        sems=pltpu.SemaphoreType.DMA((7,)),
+    body(w0_s, w1_s, sched_s, rd_s, rm_s, lit_v, sems)
+
+    # Async body writeback; the next step only waits for it right before
+    # overwriting the body (after its window tail copy).
+    pltpu.make_async_copy(
+        out_ref.at[pl.ds(body_row0, seg_rows)],
+        out_hbm.at[pl.ds(s * seg_rows, seg_rows), :],
+        sems.at[7]).start()
+
+    @pl.when(s == pl.num_programs(0) - 1)
+    def _():
+        pltpu.make_async_copy(
+            out_ref.at[pl.ds(body_row0, seg_rows)],
+            out_hbm.at[pl.ds(s * seg_rows, seg_rows), :],
+            sems.at[7]).wait()
+
+
+def walk_all_v16(init, lims, mw0, mw1, rdst, rmeta, lit2d,
+                 seg_rows: int, interpret: bool = False):
+    """All segments' walks as ONE gridded pallas_call (init, shape
+    (n_seg*seg_rows, 128), aliases the output; segments run sequentially
+    on the core with the 32 KiB window carried in VMEM scratch)."""
+    n_seg = lims.shape[0]
+    scr_rows = PAD // 128 + WIN_ROWS + seg_rows + 4
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_seg,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((scr_rows, 128), jnp.int32),
+            pltpu.SMEM((SUB_ROWS, 128), jnp.int32),
+            pltpu.SMEM((SUB_ROWS, 128), jnp.int32),
+            pltpu.SMEM((SUB_ROWS * 128 + 8,), jnp.int32),
+            pltpu.SMEM((RUN_SUB_ROWS, 128), jnp.int32),
+            pltpu.SMEM((RUN_SUB_ROWS, 128), jnp.int32),
+            pltpu.VMEM((LIT_WIN_ROWS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
     )
-
-
-def walk_v15(init, lim, mw0, mw1, rdst, rmeta, lit2d,
-             interpret: bool = False):
-    """One segment's walk inside jit (init aliases the output)."""
     return pl.pallas_call(
-        _walk_kernel,
+        functools.partial(_walk_kernel_v16, seg_rows=seg_rows),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(init.shape, jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 5
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         input_output_aliases={6: 0},
         interpret=interpret,
-    )(lim, mw0, mw1, rdst, rmeta, lit2d, init)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(lims, mw0, mw1, rdst, rmeta, lit2d, init)
 
 
 # ---------------------------------------------------------------------------
@@ -881,20 +963,9 @@ def resolve_segmented_v15(ma, mb, ra, rb, lit, cnt, outlen, bob_cell,
     if stored_val.shape[0]:
         out_flat = out_flat.at[stored_pos].set(
             stored_val.astype(jnp.int32), mode="drop")
-    body_seg = out_flat.reshape(n_seg, seg_bytes // 128, 128)
 
-    pad = jnp.zeros((PAD // 128, 128), jnp.int32)
-    slack = jnp.zeros((4, 128), jnp.int32)
-
-    def seg_step(tail, inp):
-        seg_body, lim = inp
-        init = jnp.concatenate([pad, tail, seg_body, slack], axis=0)
-        out2d = walk_v15(init, lim, mw0, mw1, rdst, rmeta, lit2d,
-                         interpret=interpret)
-        body = out2d[PAD // 128 + WIN_ROWS:-4]
-        new_tail = out2d[-4 - WIN_ROWS:-4]
-        return new_tail, body
-
-    tail0 = jnp.zeros((WIN_ROWS, 128), jnp.int32)
-    _, outs = jax.lax.scan(seg_step, tail0, (body_seg, lims))
-    return outs.reshape(-1)
+    with named_scope("v15_walk"):
+        out2d = walk_all_v16(
+            out_flat.reshape(-1, 128), lims, mw0, mw1, rdst, rmeta, lit2d,
+            seg_rows=seg_bytes // 128, interpret=interpret)
+    return out2d.reshape(-1)

@@ -28,11 +28,13 @@ GROUP = 8
 STAGE_ROWS = 16
 
 
-def _kernel(w0_hbm, w1_hbm, init_ref, out_ref, *, variant: str):
+def _kernel(w0_hbm, w1_hbm, init_ref, out_ref, *, variant: str,
+            stage_rows: int = STAGE_ROWS):
     del init_ref
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     def body(w0_s, w1_s, acc_s, sem):
+        STAGE_ROWS = stage_rows
         def per_group(w0_s, w1_s, i0):
             if variant == "noop":
                 return
@@ -78,18 +80,23 @@ def _kernel(w0_hbm, w1_hbm, init_ref, out_ref, *, variant: str):
 
         def per_stage(si, _):
             st = si * STAGE_ROWS
-            for hbm, smem in ((w0_hbm, w0_s), (w1_hbm, w1_s)):
-                dd = pltpu.make_async_copy(
-                    hbm.at[pl.ds(st, STAGE_ROWS), :], smem, sem)
-                dd.start()
-                dd.wait()
+            if variant != "nodma":
+                dds = [pltpu.make_async_copy(
+                        hbm.at[pl.ds(st, STAGE_ROWS), :], smem, sem)
+                       for hbm, smem in ((w0_hbm, w0_s), (w1_hbm, w1_s))]
+                for dd in dds:
+                    dd.start()
+                for dd in dds:
+                    dd.wait()
 
-            if variant == "unroll2":
-                def grp2(gi, _):
-                    per_group(w0_s, w1_s, gi * 2 * GROUP)
-                    per_group(w0_s, w1_s, gi * 2 * GROUP + GROUP)
+            if variant.startswith("unroll") or variant == "noop8":
+                u = 8 if variant in ("unroll8", "noop8") else int(variant[-1])
+                def grpu(gi, _):
+                    if variant != "noop8":
+                        for k in range(u):
+                            per_group(w0_s, w1_s, (gi * u + k) * GROUP)
                     return 0
-                jax.lax.fori_loop(0, STAGE_ROWS * 128 // GROUP // 2, grp2, 0)
+                jax.lax.fori_loop(0, STAGE_ROWS * 128 // GROUP // u, grpu, 0)
             else:
                 def grp(gi, _):
                     per_group(w0_s, w1_s, gi * GROUP)
@@ -101,17 +108,18 @@ def _kernel(w0_hbm, w1_hbm, init_ref, out_ref, *, variant: str):
 
     pl.run_scoped(
         body,
-        w0_s=pltpu.SMEM((STAGE_ROWS, 128), jnp.int32),
-        w1_s=pltpu.SMEM((STAGE_ROWS, 128), jnp.int32),
+        w0_s=pltpu.SMEM((stage_rows, 128), jnp.int32),
+        w1_s=pltpu.SMEM((stage_rows, 128), jnp.int32),
         acc_s=pltpu.SMEM((1,), jnp.int32),
         sem=pltpu.SemaphoreType.DMA(()),
     )
 
 
-def run_variant(variant, w0, w1, init):
+def run_variant(variant, w0, w1, init, stage_rows=STAGE_ROWS):
     f = pl.pallas_call(
-        functools.partial(_kernel, variant=variant),
+        functools.partial(_kernel, variant=variant, stage_rows=stage_rows),
         out_shape=jax.ShapeDtypeStruct((ROWS, 128), jnp.int32),
+        name=f"mb_{variant}_{stage_rows}",
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -133,8 +141,8 @@ def run_variant(variant, w0, w1, init):
         sync(jf(w0, w1, init))
     dt = (time.time() - t0) / reps
     ns = dt * 1e9 / N_PIECES
-    print(f"{variant:12s}: {dt*1e3:7.2f} ms  {ns:6.1f} ns/piece "
-          f"(~{ns*0.94:5.1f} cyc)")
+    print(f"{variant:12s} sr={stage_rows:3d}: {dt*1e3:7.2f} ms  {ns:6.1f} ns/piece "
+          f"(~{ns*0.94:5.1f} cyc)", flush=True)
 
 
 def main():
@@ -154,8 +162,10 @@ def main():
     w1 = jnp.asarray(w1.reshape(-1, 128).astype(np.int32))
     init = jnp.zeros((ROWS, 128), jnp.int32)
 
-    for v in ("full", "scalar_only", "scalar_smem", "noop"):
-        run_variant(v, w0, w1, init)
+    for v, sr in (("noop", 16), ("noop", 64), ("noop", 256), ("nodma", 16),
+                  ("full", 16), ("full", 64), ("full", 256),
+                  ("scalar_smem", 256)):
+        run_variant(v, w0, w1, init, stage_rows=sr)
 
 
 if __name__ == "__main__":
