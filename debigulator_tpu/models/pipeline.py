@@ -315,6 +315,41 @@ def _png_slice_fused_jit():
     return _PNG_SLICE_FUSED
 
 
+_PNG_SLICE_MULTI = None
+
+
+def _png_slice_fused_multi(body, offs, *, size, h, w, bpp, expand_rgb,
+                           interpret):
+    """All same-shape images of a merged body in ONE dispatch (lax.scan
+    over their offsets — each per-image dispatch costs ~21 ms of tunnel
+    latency, and corpora bucket heavily by shape, e.g. the five fs_*
+    713x1040 images)."""
+    from jax import lax
+
+    def step(_, off):
+        return 0, _png_slice_fused(body, off, size=size, h=h, w=w, bpp=bpp,
+                                   expand_rgb=expand_rgb,
+                                   interpret=interpret)
+
+    _, (pix, adler) = lax.scan(step, 0, offs)
+    return pix, adler
+
+
+def _png_slice_multi_jit():
+    global _PNG_SLICE_MULTI
+    if _PNG_SLICE_MULTI is None:
+        import functools
+
+        import jax
+
+        _PNG_SLICE_MULTI = functools.partial(
+            jax.jit,
+            static_argnames=("size", "h", "w", "bpp", "expand_rgb",
+                             "interpret"),
+        )(_png_slice_fused_multi)
+    return _PNG_SLICE_MULTI
+
+
 def decode_png_corpus_device(datas: list[bytes], verify_crc: bool = True,
                              verify_adler: bool = True,
                              as_numpy: bool = True):
@@ -419,22 +454,32 @@ def decode_png_corpus_device(datas: list[bytes], verify_crc: bool = True,
         mp = build_merged_plan([streams[i] for i in chunk], records=False,
                                scanned=[scans[i][0] for i in chunk])
         body = run_merged_plan(mp)
-        for i, off, size in zip(chunk, mp.out_offsets, mp.out_sizes):
+        # Bucket the chunk's images by fused-kernel shape: every bucket
+        # is ONE device dispatch (lax.scan over offsets), and the
+        # offsets stage as one vector — per-image dispatches/scalars
+        # each cost ~21 ms of tunnel latency.
+        buckets: dict = {}
+        for k, (i, size) in enumerate(zip(chunk, mp.out_sizes)):
             info = parsed[i].info
             expected_size = info.height * (1 + info.stride)
             if size != expected_size:
                 raise png_codec.PngError(
                     f"decompressed size {size} != expected {expected_size}"
                 )
-            pix, adler = _png_slice_fused_jit()(
-                body, jnp.int32(off), size=size, h=info.height,
-                w=info.width, bpp=info.bpp,
-                expand_rgb=(info.color_type == C.PNG_COLOR_RGB),
-                interpret=not on_tpu,
+            key = (size, info.height, info.width, info.bpp,
+                   info.color_type == C.PNG_COLOR_RGB)
+            buckets.setdefault(key, []).append((i, mp.out_offsets[k]))
+        for (size, h, w, bpp, expand), members in buckets.items():
+            offs_dev = jnp.asarray(
+                np.asarray([off for _, off in members], np.int32))
+            pix, adler = _png_slice_multi_jit()(
+                body, offs_dev, size=size, h=h, w=w, bpp=bpp,
+                expand_rgb=expand, interpret=not on_tpu,
             )
-            pix_map[i] = pix
-            adlers.append(adler)
-            adler_idx.append(i)
+            for j, (i, _) in enumerate(members):
+                pix_map[i] = pix[j]
+                adlers.append(adler[j])
+                adler_idx.append(i)
     # Block-dense leftovers (e.g. flush-per-scanline encodes: ~800
     # blocks in 5 KB): tiny streams that are pathological for every
     # device path — decode them with the native serial inflate + host

@@ -109,8 +109,30 @@ def crc32_combine(crc_a: int, crc_b: int, len_b: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+_NATIVE_CK = None
+
+
+def _native_checksums():
+    """The native slice-by-8 forms when the library is present (the
+    NumPy lane-parallel forms below are ~8 MB/s on the small per-chunk
+    buffers PNG parsing feeds them — 1.1 s of the round-4 corpus walk
+    was host CRC)."""
+    global _NATIVE_CK
+    if _NATIVE_CK is None:
+        try:
+            from debigulator_tpu.native import scanner as _ns
+
+            _NATIVE_CK = _ns if _ns.available() else False
+        except Exception:  # pragma: no cover - import-time breakage only
+            _NATIVE_CK = False
+    return _NATIVE_CK
+
+
 def crc32(data, crc: int = 0) -> int:
     """CRC-32 (gzip/PNG flavor) of a bytes-like object, lane-parallel."""
+    ns = _native_checksums()
+    if ns:
+        return ns.crc32(data, crc)
     buf = np.frombuffer(memoryview(data), dtype=np.uint8)
     n = buf.size
     if n == 0:
@@ -156,6 +178,9 @@ def crc32(data, crc: int = 0) -> int:
 
 def adler32(data, adler: int = 1) -> int:
     """Adler-32 (zlib flavor), fully vectorized."""
+    ns = _native_checksums()
+    if ns:
+        return ns.adler32(data, adler)
     buf = np.frombuffer(memoryview(data), dtype=np.uint8).astype(np.uint64)
     n = buf.size
     s1 = np.uint64(adler & 0xFFFF)

@@ -159,6 +159,53 @@ def _augment_dist(syms: np.ndarray) -> np.ndarray:
     return _D_AUG_TABLE[np.asarray(syms, np.int64)]
 
 
+def _batch_decode_tables(lengths_list, nsym_cap: int):
+    """Vectorized-across-blocks canonical table construction.
+
+    Semantics of huffman.build_decode_table for a LIST of length arrays
+    (count/first_code/index_base (nb,16) + the (nb, nsym_cap) symbol
+    permutation and per-block code count), built with O(1) NumPy calls
+    total instead of ~15 per block — the per-block form cost ~47 us/call
+    and dominated corpus host planning (1871 blocks = ~170 ms).
+    """
+    from debigulator_tpu.ops.huffman import HuffmanError
+
+    nb = len(lengths_list)
+    sizes = np.fromiter((len(x) for x in lengths_list), np.int64, nb)
+    ids = np.repeat(np.arange(nb), sizes)
+    lens = np.concatenate(lengths_list).astype(np.int64) if nb else \
+        np.zeros(0, np.int64)
+    if lens.size and (lens.min() < 0 or lens.max() > C.MAX_BITS):
+        raise HuffmanError("code length out of range")
+    count = np.bincount(ids * 16 + lens, minlength=nb * 16).reshape(nb, 16)
+    count[:, 0] = 0
+    first = np.zeros((nb, 16), np.int64)
+    code = np.zeros(nb, np.int64)
+    left = np.ones(nb, np.int64)
+    for bits in range(1, C.MAX_BITS + 1):
+        code = (code + count[:, bits - 1]) << 1
+        first[:, bits] = code
+        left = (left << 1) - count[:, bits]
+        if (left < 0).any():
+            raise HuffmanError(
+                f"over-subscribed code at length {bits} "
+                f"(block {int(np.nonzero(left < 0)[0][0])})")
+    base = np.zeros((nb, 16), np.int64)
+    base[:, 1:] = np.cumsum(count, axis=1)[:, :-1]
+
+    # Symbol permutation per block: stable sort of (length, symbol) with
+    # unused symbols keyed past every real length.
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    pos = np.arange(len(lens)) - np.repeat(starts, sizes)
+    lmat = np.full((nb, nsym_cap), C.MAX_BITS + 1, np.int64)
+    lmat[ids, pos] = np.where(lens > 0, lens, C.MAX_BITS + 1)
+    key = lmat * (nsym_cap + 1) + np.arange(nsym_cap)[None, :]
+    syms = np.argsort(key, axis=1, kind="stable")
+    ncodes = count.sum(axis=1)
+    return (count.astype(np.int32), first.astype(np.int32),
+            base.astype(np.int32), syms.astype(np.int64), ncodes)
+
+
 def build_plan_v3(data: bytes, blocks: list[BlockInfo], block_lengths,
                   slots: int = DEFAULT_SLOTS, cells=None) -> PlanV3:
     buf = np.frombuffer(memoryview(data), np.uint8)
@@ -213,17 +260,26 @@ def build_plan_v3(data: bytes, blocks: list[BlockInfo], block_lengths,
         vb_parts.append(part)
         cursor += ncells * CELL_BITS
 
-        lengths = block_lengths[b]
-        llt = build_decode_table(lengths[0])
-        dt = build_decode_table(lengths[1])
-        ll_count[b] = llt.count
-        ll_first[b] = llt.first_code
-        ll_base[b] = llt.index_base
-        ll_aug[b, : len(llt.syms)] = _augment_litlen(llt.syms, len(llt.syms))
-        d_count[b] = dt.count
-        d_first[b] = dt.first_code
-        d_base[b] = dt.index_base
-        d_aug[b, : len(dt.syms)] = _augment_dist(dt.syms)
+    # Decode tables for all compressed blocks, batched (one NumPy pass).
+    if comp_blocks:
+        cb_idx = np.asarray(comp_blocks)
+        llc, llf, llb, llsym, llnc = _batch_decode_tables(
+            [np.asarray(block_lengths[b][0], np.int64) for b in comp_blocks],
+            288)
+        dc, df, db_, dsym, dnc = _batch_decode_tables(
+            [np.asarray(block_lengths[b][1], np.int64) for b in comp_blocks],
+            32)
+        ll_count[cb_idx] = llc
+        ll_first[cb_idx] = llf
+        ll_base[cb_idx] = llb
+        lane = np.arange(288)[None, :]
+        ll_aug[cb_idx] = np.where(lane < llnc[:, None],
+                                  _LL_AUG_TABLE[llsym], 0)
+        d_count[cb_idx] = dc
+        d_first[cb_idx] = df
+        d_base[cb_idx] = db_
+        d_aug[cb_idx] = np.where(np.arange(32)[None, :] < dnc[:, None],
+                                 _D_AUG_TABLE[dsym], 0)
 
     n_bits_used = max(cursor, CELL_BITS)
     n_bits = _round_pow2(n_bits_used, 1 << 10)

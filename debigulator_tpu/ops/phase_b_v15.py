@@ -46,6 +46,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -305,7 +306,7 @@ def compact_v15(dm, mm, dr, mr, mbase, rbase, dm_init, mm_init,
 
 
 def _walk_kernel_v16(lims_ref, mw0_hbm, mw1_hbm, rdst_hbm, rmeta_hbm,
-                     lit_hbm, init_hbm, out_hbm,
+                     lit_hbm, tail_hbm, init_hbm, out_hbm,
                      out_ref, w0_s, w1_s, sched_s, rd_s, rm_s, lit_v, sems,
                      *, seg_rows: int):
     """v16: ALL segments in ONE gridded pallas_call, segment resident in
@@ -368,6 +369,14 @@ def _walk_kernel_v16(lims_ref, mw0_hbm, mw1_hbm, rdst_hbm, rmeta_hbm,
             (body_row0, 128), jnp.int32)
         out_ref[pl.ds(body_row0 + seg_rows, 4), :] = jnp.zeros(
             (4, 128), jnp.int32)
+        # Stream-head window prologue (all-zeros for a stream head; the
+        # sp layer passes the ring-neighbor tail here).
+        pltpu.make_async_copy(
+            tail_hbm, out_ref.at[pl.ds(pad_rows, WIN_ROWS)],
+            sems.at[8]).start()
+        pltpu.make_async_copy(
+            tail_hbm, out_ref.at[pl.ds(pad_rows, WIN_ROWS)],
+            sems.at[8]).wait()
 
     @pl.when(s > 0)
     def _():
@@ -781,16 +790,20 @@ def _walk_kernel_v16(lims_ref, mw0_hbm, mw1_hbm, rdst_hbm, rmeta_hbm,
 
 
 def walk_all_v16(init, lims, mw0, mw1, rdst, rmeta, lit2d,
-                 seg_rows: int, interpret: bool = False):
+                 seg_rows: int, tail0=None, interpret: bool = False):
     """All segments' walks as ONE gridded pallas_call (init, shape
     (n_seg*seg_rows, 128), aliases the output; segments run sequentially
-    on the core with the 32 KiB window carried in VMEM scratch)."""
+    on the core with the 32 KiB window carried in VMEM scratch).
+    tail0: optional (WIN_ROWS, 128) int32 window prologue for the FIRST
+    segment (zeros = stream head; the sp layer passes the ring tail)."""
     n_seg = lims.shape[0]
+    if tail0 is None:
+        tail0 = jnp.zeros((WIN_ROWS, 128), jnp.int32)
     scr_rows = PAD // 128 + WIN_ROWS + seg_rows + 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_seg,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((scr_rows, 128), jnp.int32),
@@ -807,10 +820,10 @@ def walk_all_v16(init, lims, mw0, mw1, rdst, rmeta, lit2d,
         functools.partial(_walk_kernel_v16, seg_rows=seg_rows),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(init.shape, jnp.int32),
-        input_output_aliases={6: 0},
+        input_output_aliases={7: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(lims, mw0, mw1, rdst, rmeta, lit2d, init)
+    )(lims, mw0, mw1, rdst, rmeta, lit2d, tail0, init)
 
 
 # ---------------------------------------------------------------------------
@@ -968,4 +981,118 @@ def resolve_segmented_v15(ma, mb, ra, rb, lit, cnt, outlen, bob_cell,
         out2d = walk_all_v16(
             out_flat.reshape(-1, 128), lims, mw0, mw1, rdst, rmeta, lit2d,
             seg_rows=seg_bytes // 128, interpret=interpret)
+    return out2d.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Host-record planner (the sequence-parallel layer's entry)
+# ---------------------------------------------------------------------------
+
+
+def _size8_np(mflat, mmetaf, seg_bytes, n_seg):
+    """NumPy twin of the v15_size8 XLA block: per-record exec words
+    (w0, w1) + the packed-batch sizes, from HOST dense record lists."""
+    mflat = mflat.astype(np.int64)
+    mlen = (mmetaf.astype(np.int64) >> 16) & 0xFFFF
+    dist = mmetaf.astype(np.int64) & 0xFFFF
+    req = mflat - dist + mlen
+    rp = mflat & 127
+    qr_ = (mflat - dist - rp) & 127
+    narrow = (rp + (mlen & 0x1FF) + qr_) <= 2 * 128
+    n_rec = len(mflat)
+    reqp = np.concatenate([req, np.full(GROUP, BIG, np.int64)])
+    nrwp = np.concatenate([narrow, np.ones(GROUP, bool)])
+    acc = np.ones(n_rec, bool)
+    size8 = np.zeros(n_rec, np.int64)
+    for t in range(GROUP):
+        acc = acc & (reqp[t : t + n_rec] <= mflat) & nrwp[t : t + n_rec]
+        size8 = size8 + acc
+    d_rel = mflat - np.clip(mflat // seg_bytes, 0, n_seg - 1) * seg_bytes
+    w0 = (((d_rel >> 7) & 0xFFFF) << 16) | (rp << 9) | (mlen & 0x1FF)
+    qv = d_rel - dist - rp
+    w1 = (size8 << 27) | (((qv >> 7) & 0x1FFF) << 7) | (qv & 0x7F)
+    return w0.astype(np.int32), w1.astype(np.int32)
+
+
+def _pad_rows_np(a: np.ndarray, fill) -> np.ndarray:
+    """Flat record array -> (rows, 128) with DMA slack for the walk's
+    SUB_ROWS windows (mirrors the dense_rows padding of the XLA glue)."""
+    n = len(a)
+    rows = -(-max(n, 1) // 128) + SUB_ROWS + 16
+    out = np.full(rows * 128, fill, np.int32)
+    out[:n] = a
+    return out.reshape(rows, 128)
+
+
+def plan_records_v15(m_pos, m_meta, r_pos, r_lit0, r_len, lit,
+                     n_seg: int, seg_bytes: int,
+                     stored_pos=None, stored_val=None) -> dict:
+    """Host plan: dst-sorted record lists -> the walk's staged arrays.
+
+    m_pos/m_meta: matches (pos ascending, meta = len<<16|dist);
+    r_pos/r_lit0/r_len: literal runs (run_len <= 127, pos ascending,
+    lit offsets ascending); lit: dense literal bytes (uint8).  Runs are
+    split here at 128-byte lit-row boundaries (the flush kernel reads
+    one lit row per run).  Returns numpy arrays for run_records_v15.
+    """
+    if seg_bytes // 128 > 4096:
+        raise ValueError("seg_bytes gives seg_rows > 4096 (qrow field)")
+    m_pos = np.asarray(m_pos, np.int64)
+    m_meta = np.asarray(m_meta, np.int64)
+    mlen = (m_meta >> 16) & 0xFFFF
+    w0, w1 = _size8_np(m_pos, m_meta, seg_bytes, n_seg)
+
+    # Split runs at lit-row boundaries so every run reads ONE lit row.
+    r_pos = np.asarray(r_pos, np.int64)
+    r_lit0 = np.asarray(r_lit0, np.int64)
+    r_len = np.asarray(r_len, np.int64)
+    len_a = np.minimum(r_len, 128 - (r_lit0 & 127))
+    len_b = r_len - len_a
+    p2 = np.stack([r_pos, r_pos + len_a], 1).reshape(-1)
+    l2 = np.stack([r_lit0, r_lit0 + len_a], 1).reshape(-1)
+    n2 = np.stack([len_a, len_b], 1).reshape(-1)
+    keep = n2 > 0
+    p2, l2, n2 = p2[keep], l2[keep], n2[keep]
+    rmeta = ((l2 >> 7) << 14) | ((l2 & 127) << 7) | n2
+
+    offs = np.arange(n_seg, dtype=np.int64) * seg_bytes
+    ends = offs + seg_bytes
+    lims = np.zeros((n_seg, 8), np.int32)
+    lims[:, 0] = np.searchsorted(m_pos + mlen, offs, side="right")
+    lims[:, 1] = np.searchsorted(m_pos, offs, side="left")
+    lims[:, 2] = np.searchsorted(m_pos + 258, ends, side="left")
+    lims[:, 3] = np.searchsorted(m_pos, ends, side="left")
+    lims[:, 4] = np.searchsorted(p2 + 128, offs, side="right")
+    lims[:, 5] = np.searchsorted(p2, ends, side="left")
+    lims[:, 6] = offs
+
+    lit = np.asarray(lit)
+    lr = -(-max(len(lit), 1) // 128) + LIT_WIN_ROWS + 8
+    lit32 = np.zeros(lr * 128, np.int32)
+    lit32[: len(lit)] = lit
+    init = np.zeros(n_seg * seg_bytes, np.int32)
+    if stored_val is not None and len(stored_val):
+        init[np.asarray(stored_pos)] = np.asarray(stored_val)
+    return {
+        "lims": lims,
+        "mw0": _pad_rows_np(w0, 0),
+        "mw1": _pad_rows_np(w1, 0),
+        "rdst": _pad_rows_np(p2, 0),
+        "rmeta": _pad_rows_np(rmeta, 0),
+        "lit2d": lit32.reshape(lr, 128),
+        "init": init.reshape(-1, 128),
+    }
+
+
+def run_records_v15(arrs: dict, seg_bytes: int, tail0=None, body_init=None,
+                    interpret: bool = False):
+    """Run the v16 walk on a plan_records_v15 plan (traceable: arrays may
+    be jnp, e.g. inside shard_map).  body_init overrides the stored-byte
+    init (patch rounds replay over the previous output)."""
+    init = arrs["init"] if body_init is None else body_init.reshape(-1, 128)
+    out2d = walk_all_v16(
+        jnp.asarray(init), jnp.asarray(arrs["lims"]), jnp.asarray(arrs["mw0"]),
+        jnp.asarray(arrs["mw1"]), jnp.asarray(arrs["rdst"]),
+        jnp.asarray(arrs["rmeta"]), jnp.asarray(arrs["lit2d"]),
+        seg_rows=seg_bytes // 128, tail0=tail0, interpret=interpret)
     return out2d.reshape(-1)

@@ -26,7 +26,10 @@ before the tail, giving exactly one round.  A worst-case stream (one RLE
 run spanning everything) degrades to n_shards rounds, still correct.
 
 All shards execute the same SPMD program under ``shard_map``; the tails
-ride ICI as a single ``ppermute`` per round.
+ride ICI as a single ``ppermute`` per round.  The per-shard resolver is
+the flagship v15/v16 frontier-batched walk (ops.phase_b_v15.walk_all_v16
+via plan_records_v15 — the same kernel the merged single-chip path runs;
+the archive v10 group walk this layer used through round 4 is gone).
 """
 
 from __future__ import annotations
@@ -37,11 +40,10 @@ import functools
 import numpy as np
 
 from debigulator_tpu.ops import inflate_v3 as v3
-# The sp layer still rides the v10 host-fed group walk (its taint/patch
-# machinery is group-shaped); porting it to the v15 frontier walk is a
-# round-5 item, so the resolver imports from the quarantined generation.
-from debigulator_tpu.ops.archive.inflate_generations import (
-    resolve_groups_segmented_v10 as _resolve_groups_v10,
+from debigulator_tpu.ops.phase_b_v15 import (
+    WIN_ROWS,
+    plan_records_v15,
+    run_records_v15,
 )
 
 WINDOW = 32768
@@ -50,10 +52,11 @@ WINDOW = 32768
 def _split_at(pos, meta_len, bound_of):
     """Split records (pos, len) at per-record boundaries bound_of(pos).
 
-    Returns index arrays (orig_idx, pos, len_a_or_b) interleaved A/B with
-    zero-length halves dropped; order (and therefore stream order) is
-    preserved.  Works for matches (dist unchanged by an A/B split) and
-    literal runs (lit offset advances by len_a).
+    Returns index arrays (orig_idx, pos, len_a_or_b, lit_advance)
+    interleaved A/B with zero-length halves dropped; order (and
+    therefore stream order) is preserved.  Works for matches (dist
+    unchanged by an A/B split) and literal runs (lit offset advances by
+    len_a).
     """
     pos = pos.astype(np.int64)
     ln = meta_len.astype(np.int64)
@@ -72,15 +75,13 @@ def _split_at(pos, meta_len, bound_of):
 @dataclasses.dataclass
 class SplitPlan:
     n_shards: int
-    shard_bytes: int  # multiple of SEG_BYTES
+    shard_bytes: int  # multiple of seg_bytes
     n_seg: int  # segments per shard
     seg_bytes: int
     out_size: int
     rounds: int
-    phase1: dict  # stacked per-shard v12 arrays (leading axis = shard)
-    patch: dict  # stacked per-shard v12 arrays for tainted matches
-    stored_pos: np.ndarray  # shard-local positions (padded, fill=big)
-    stored_val: np.ndarray
+    phase1: dict  # stacked per-shard walk arrays (leading axis = shard)
+    patch: dict  # stacked per-shard walk arrays for tainted matches
     lit: np.ndarray  # shared dense literal rows (replicated)
 
 
@@ -88,10 +89,7 @@ def plan_split_stream(stream: bytes, n_shards: int,
                       seg_bytes: int | None = None) -> SplitPlan:
     """Host plan: scan, split records per shard, taint-analyse, pack."""
     from debigulator_tpu.native.scanner import taint_matches
-    from debigulator_tpu.parallel.merged import (
-        build_merged_plan,
-        build_piece_arrays,
-    )
+    from debigulator_tpu.parallel.merged import build_merged_plan
 
     mp_all = build_merged_plan([stream])
     recs = mp_all.recs
@@ -126,37 +124,29 @@ def plan_split_stream(stream: bytes, n_shards: int,
     ri, rp_, rl, roff = _split_at(recs["r_pos"].astype(np.int64), r_len, bound)
     r_lit0_s = recs["r_lit0"].astype(np.int64)[ri] + roff
 
-    # --- per-shard piece arrays -------------------------------------------
+    # --- per-shard walk plans (flagship v15 record format) -----------------
     lit = recs["lit"]
     shard_of_m = (mp_ // shard_bytes).astype(np.int64)
     shard_of_r = (rp_ // shard_bytes).astype(np.int64)
+    sp = np.asarray(mp_all.plan.stored_pos, np.int64)
+    sv = np.asarray(mp_all.plan.stored_val, np.uint8)
     phase1_l, patch_l = [], []
     for s in range(n_shards):
         km = shard_of_m == s
         kr = shard_of_r == s
+        ks = (sp >= s * shard_bytes) & (sp < (s + 1) * shard_bytes)
         base = s * shard_bytes
-        shard_recs = {
-            "m_pos": (mp_[km] - base).astype(np.int32),
-            "m_meta": m_meta_s[km],
-            "r_pos": (rp_[kr] - base).astype(np.int32),
-            "r_j0len": rl[kr].astype(np.int32),
-            "r_lit0": r_lit0_s[kr].astype(np.int32),
-            "lit": lit,
-        }
-        a = build_piece_arrays(shard_recs, n_seg, seg_bytes=SEG)
-        if a is None:
-            raise RuntimeError("native group packer unavailable")
-        phase1_l.append(a)
+        phase1_l.append(plan_records_v15(
+            mp_[km] - base, m_meta_s[km].astype(np.int64),
+            rp_[kr] - base, r_lit0_s[kr], rl[kr], lit, n_seg, SEG,
+            stored_pos=sp[ks] - base, stored_val=sv[ks],
+        ))
         kp = km & (m_taint.astype(bool)[: len(km)] if len(m_taint) else km)
-        patch_recs = {
-            "m_pos": (mp_[kp] - base).astype(np.int32),
-            "m_meta": m_meta_s[kp],
-            "r_pos": np.zeros(0, np.int32),
-            "r_j0len": np.zeros(0, np.int32),
-            "r_lit0": np.zeros(0, np.int32),
-            "lit": lit,
-        }
-        patch_l.append(build_piece_arrays(patch_recs, n_seg, seg_bytes=SEG))
+        patch_l.append(plan_records_v15(
+            mp_[kp] - base, m_meta_s[kp].astype(np.int64),
+            np.zeros(0, np.int64), np.zeros(0, np.int64),
+            np.zeros(0, np.int64), lit, n_seg, SEG,
+        ))
 
     # --- rounds from the tail-taint chain ---------------------------------
     rounds = 0
@@ -165,37 +155,18 @@ def plan_split_stream(stream: bytes, n_shards: int,
         fr = (fr + 1) if tail_taint[s - 1] else 1
         rounds = max(rounds, fr)
 
-    # --- stored bytes per shard -------------------------------------------
-    sp = np.asarray(mp_all.plan.stored_pos, np.int64)
-    sv = np.asarray(mp_all.plan.stored_val, np.uint8)
-    stored_max = max(
-        1,
-        int(np.bincount(
-            np.clip(sp // shard_bytes, 0, n_shards - 1), minlength=n_shards
-        ).max()) if len(sp) else 1,
-    )
-    stored_pos = np.full((n_shards, stored_max), shard_bytes * 2, np.int32)
-    stored_val = np.zeros((n_shards, stored_max), np.uint8)
-    for s in range(n_shards):
-        k = (sp >= s * shard_bytes) & (sp < (s + 1) * shard_bytes)
-        m = int(k.sum())
-        stored_pos[s, :m] = (sp[k] - s * shard_bytes).astype(np.int32)
-        stored_val[s, :m] = sv[k]
-
     def stack(dicts):
-        import numpy as _np
-
-        keys = [k for k in dicts[0] if k != "lit"]
+        keys = [k for k in dicts[0] if k != "lit2d"]
         out = {}
         for k in keys:
-            parts = [_np.asarray(d[k]) for d in dicts]
+            parts = [np.asarray(d[k]) for d in dicts]
             rows = max(p.shape[0] for p in parts)
             padded = []
             for p in parts:
-                q = _np.zeros((rows,) + p.shape[1:], p.dtype)
+                q = np.zeros((rows,) + p.shape[1:], p.dtype)
                 q[: p.shape[0]] = p
                 padded.append(q)
-            out[k] = _np.stack(padded)
+            out[k] = np.stack(padded)
         return out
 
     return SplitPlan(
@@ -207,10 +178,14 @@ def plan_split_stream(stream: bytes, n_shards: int,
         rounds=rounds,
         phase1=stack(phase1_l),
         patch=stack(patch_l),
-        stored_pos=stored_pos,
-        stored_val=stored_val,
-        lit=np.asarray(phase1_l[0]["lit"]),
+        lit=np.asarray(phase1_l[0]["lit2d"]),
     )
+
+
+def _shard_arrays(d, s, lit):
+    out = {k: v[s] for k, v in d.items()}
+    out["lit2d"] = lit
+    return out
 
 
 def decode_split_emulated(stream: bytes, n_shards: int,
@@ -228,35 +203,23 @@ def decode_split_emulated(stream: bytes, n_shards: int,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     plan = plan_split_stream(stream, n_shards, seg_bytes=seg_bytes)
-    n_seg = plan.n_seg
-    win_rows = WINDOW // 128
     lit = jnp.asarray(plan.lit)
-
-    def shard_arrays(d, s):
-        out = {k: jnp.asarray(v[s]) for k, v in d.items()}
-        out["lit"] = lit
-        return out
 
     outs = []
     for s in range(n_shards):
-        a = shard_arrays(plan.phase1, s)
-        outs.append(_resolve_groups_v10(
-            a, n_seg, jnp.asarray(plan.stored_pos[s]),
-            jnp.asarray(plan.stored_val[s]), interpret=interpret,
-            seg_bytes=plan.seg_bytes,
+        outs.append(run_records_v15(
+            _shard_arrays(plan.phase1, s, lit), plan.seg_bytes,
+            interpret=interpret,
         ))
-    zero_tail = jnp.zeros((win_rows, 128), jnp.int32)
-    empty_pos = jnp.zeros(0, jnp.int32)
-    empty_val = jnp.zeros(0, jnp.uint8)
+    zero_tail = jnp.zeros((WIN_ROWS, 128), jnp.int32)
     for _ in range(plan.rounds):
         tails = [zero_tail] + [
-            o[-WINDOW:].reshape(win_rows, 128) for o in outs[:-1]
+            o[-WINDOW:].reshape(WIN_ROWS, 128) for o in outs[:-1]
         ]
         outs = [
-            _resolve_groups_v10(
-                shard_arrays(plan.patch, s), n_seg, empty_pos, empty_val,
-                interpret=interpret, tail0=tails[s], body_init=outs[s],
-                seg_bytes=plan.seg_bytes,
+            run_records_v15(
+                _shard_arrays(plan.patch, s, lit), plan.seg_bytes,
+                tail0=tails[s], body_init=outs[s], interpret=interpret,
             )
             for s in range(n_shards)
         ]
@@ -286,8 +249,6 @@ def decode_split_stream(stream: bytes, mesh=None, n_shards: int | None = None,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     plan = plan_split_stream(stream, sp_n, seg_bytes=seg_bytes)
-    n_seg = plan.n_seg
-    win_rows = WINDOW // 128
 
     lit = jnp.asarray(plan.lit)
 
@@ -296,38 +257,30 @@ def decode_split_stream(stream: bytes, mesh=None, n_shards: int | None = None,
 
     p1 = stacked(plan.phase1)
     pp = stacked(plan.patch)
-    spos = jnp.asarray(plan.stored_pos)
-    sval = jnp.asarray(plan.stored_val)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P("sp"), P("sp"), P("sp"), P("sp"), P()),
+        in_specs=(P("sp"), P("sp"), P()),
         out_specs=P("sp"),
         check_vma=False,
     )
-    def run(p1_s, pp_s, spos_s, sval_s, lit_r):
+    def run(p1_s, pp_s, lit_r):
         p1_d = {k: v[0] for k, v in p1_s.items()}
         pp_d = {k: v[0] for k, v in pp_s.items()}
-        p1_d["lit"] = lit_r
-        pp_d["lit"] = lit_r
-        out = _resolve_groups_v10(
-            p1_d, n_seg, spos_s[0], sval_s[0], interpret=interpret,
-            seg_bytes=plan.seg_bytes,
-        )
+        p1_d["lit2d"] = lit_r
+        pp_d["lit2d"] = lit_r
+        out = run_records_v15(p1_d, plan.seg_bytes, interpret=interpret)
         for _ in range(plan.rounds):
-            tail = out[-WINDOW:].reshape(win_rows, 128)
+            tail = out[-WINDOW:].reshape(WIN_ROWS, 128)
             idx = jax.lax.axis_index("sp")
             perm = [(i, (i + 1) % sp_n) for i in range(sp_n)]
             tin = jax.lax.ppermute(tail, "sp", perm)
             tin = jnp.where(idx == 0, jnp.zeros_like(tin), tin)
-            out = _resolve_groups_v10(
-                pp_d, n_seg, spos_s[0, :0], sval_s[0, :0],
-                interpret=interpret, tail0=tin, body_init=out,
-                seg_bytes=plan.seg_bytes,
-            )
+            out = run_records_v15(pp_d, plan.seg_bytes, tail0=tin,
+                                  body_init=out, interpret=interpret)
         return out[None]
 
-    out = jax.jit(run)(p1, pp, spos, sval, lit)
+    out = jax.jit(run)(p1, pp, lit)
     body = np.asarray(out).reshape(-1)[: plan.out_size]
     return body.astype(np.uint8).tobytes()

@@ -28,10 +28,8 @@ def _deflate(data: bytes, level: int = 6, strategy=zlib.Z_DEFAULT_STRATEGY):
 
 
 def _decode_v9(streams):
-    from debigulator_tpu.parallel.merged import (
-        build_merged_plan,
-        build_v9_arrays,
-    )
+    from debigulator_tpu.ops.archive.host_fed import build_v9_arrays
+    from debigulator_tpu.parallel.merged import build_merged_plan
 
     mp = build_merged_plan(streams)
     assert mp.recs is not None, "native records required"

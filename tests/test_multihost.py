@@ -24,6 +24,7 @@ def test_two_process_cluster_decode():
     assert r.returncode == 0, r.stderr[-2000:]
     assert "MULTIHOST OK" in r.stdout
     eff = float(r.stdout.rsplit("scaling_efficiency=", 1)[1].split()[0])
-    # Emulated ≥80% target (BASELINE.md): the distributed machinery
-    # (coordinator, allgather, stragglers) must not cost more than ~25%.
-    assert eff >= 0.7, f"scaling efficiency {eff} too low"
+    # Emulated ≥80% BASELINE target: the decode window (startup excluded)
+    # covers decode + DCN allgather; same total silicon, so ideal == 1.0
+    # and the gate bounds the distributed machinery's cost at 20%.
+    assert eff >= 0.8, f"scaling efficiency {eff} below the 0.80 target"

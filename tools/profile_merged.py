@@ -26,9 +26,9 @@ import jax.numpy as jnp  # noqa: E402
 from debigulator_tpu.models.gzip_codec import parse_gzip_members  # noqa: E402
 from debigulator_tpu.ops import inflate_v3 as v3  # noqa: E402
 from debigulator_tpu.ops.phase_a_pallas import build_pa_arrays, phase_a_pallas  # noqa: E402
+from debigulator_tpu.ops.archive.host_fed import build_v9_arrays  # noqa: E402
 from debigulator_tpu.parallel.merged import (  # noqa: E402
     build_merged_plan,
-    build_v9_arrays,
     prepare_merged,
 )
 
