@@ -225,13 +225,83 @@ def _walk_jit(rows: int, out_rows: int, interpret: bool):
     return jax.jit(f)
 
 
+#: First-readback cap in match rows (x128 matches, x1 KiB per row pair).
+_READ_ROWS = 512
+
+
+@functools.lru_cache(maxsize=None)
+def _select_jit(n: int, dists: tuple, cap: int, interpret: bool):
+    """ONE fused jit: elementwise lengths -> Pallas greedy walk -> packed
+    (cnt | pos rows | meta rows) output.  The round-4 path paid two
+    dispatches plus THREE synced readbacks (~20 ms tunnel latency each);
+    this pays one dispatch plus ONE capped readback (+1 spill readback
+    only when a 4 MB+ input selects > 65k matches)."""
+    import jax
+    import jax.numpy as jnp
+
+    rows = -(-n // 128)
+    rows_p = (-(-rows // 8) * 8) + _WALK_SUB + 8
+    out_rows = rows_p + _WALK_SUB
+
+    def f(data):
+        data = data.astype(jnp.int32)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        best_len = jnp.zeros(n, jnp.int32)
+        best_dist = jnp.zeros(n, jnp.int32)
+        for d in dists:
+            eq = jnp.concatenate(
+                [jnp.zeros(d, jnp.bool_), data[d:] == data[:-d]])
+            z = jnp.where(eq, n, idx)
+            nz = jax.lax.cummin(z[::-1])[::-1]
+            ln = jnp.minimum(nz - idx, cap)
+            better = (ln >= C.MIN_MATCH_LENGTH) & (ln > best_len)
+            best_len = jnp.where(better, ln, best_len)
+            best_dist = jnp.where(better, d, best_dist)
+        pad = rows_p * 128 - n
+        bl2d = jnp.pad(best_len, (0, pad)).reshape(rows_p, 128)
+        bd2d = jnp.pad(best_dist, (0, pad)).reshape(rows_p, 128)
+        pos2d, meta2d, cnt = pl_call(bl2d, bd2d)
+        rr = min(_READ_ROWS, out_rows)
+        head = jnp.concatenate(
+            [jnp.broadcast_to(cnt, (1, 128)).astype(jnp.int32),
+             pos2d[:rr], meta2d[:rr]])
+        return head, pos2d, meta2d
+
+    def pl_call(bl2d, bd2d):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        return pl.pallas_call(
+            _greedy_walk_kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
+                jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)],
+            scratch_shapes=[
+                pltpu.SMEM((_WALK_SUB, 128), jnp.int32),
+                pltpu.SMEM((_WALK_SUB, 128), jnp.int32),
+                pltpu.SMEM((_WALK_SUB, 128), jnp.int32),
+                pltpu.SMEM((_WALK_SUB, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            interpret=interpret,
+        )(jnp.asarray([n], jnp.int32), bl2d, bd2d)
+
+    return jax.jit(f)
+
+
 def lz77_select_device(data: np.ndarray, stride: int | None = None,
                        dev_data=None):
-    """Device lengths + device greedy walk.  Returns (sel, lens, dists)
-    numpy arrays of the selected matches (the only readback is the
-    compacted match list, ~8 bytes per match).  dev_data: optional
-    pre-staged device copy of data (bench hook: excludes the h2d
-    transfer from the timed region)."""
+    """Fused device lengths + greedy walk.  Returns (sel, lens, dists)
+    numpy arrays of the selected matches; one dispatch, one readback in
+    the common case.  dev_data: optional pre-staged device copy of data
+    (bench hook: excludes the h2d transfer from the timed region)."""
     import jax
     import jax.numpy as jnp
 
@@ -240,22 +310,21 @@ def lz77_select_device(data: np.ndarray, stride: int | None = None,
     if stride and stride not in dists:
         dists.append(int(stride))
     dist_t = tuple(sorted(set(d for d in dists if d < n)))
-    lf = _lengths_jit(n, dist_t, C.MAX_MATCH_LENGTH)
-    bl, bd = lf(dev_data if dev_data is not None
-                else jnp.asarray(np.asarray(data, np.uint8)))
-    rows = -(-n // 128)
-    rows_p = (-(-rows // 8) * 8) + _WALK_SUB + 8
-    pad = rows_p * 128 - n
-    bl2d = jnp.pad(bl, (0, pad)).reshape(rows_p, 128)
-    bd2d = jnp.pad(bd, (0, pad)).reshape(rows_p, 128)
-    out_rows = rows_p + _WALK_SUB
     interpret = jax.default_backend() == "cpu"
-    pos2d, meta2d, cnt = _walk_jit(rows_p, out_rows, interpret)(
-        jnp.asarray([n], jnp.int32), bl2d, bd2d)
-    k = int(cnt[0])
-    full_rows = -(-k // 128) if k else 0
-    pos = np.asarray(pos2d[: max(full_rows, 1)]).reshape(-1)[:k]
-    meta = np.asarray(meta2d[: max(full_rows, 1)]).reshape(-1)[:k]
+    f = _select_jit(n, dist_t, C.MAX_MATCH_LENGTH, interpret)
+    head, pos2d, meta2d = f(dev_data if dev_data is not None
+                            else jnp.asarray(np.asarray(data, np.uint8)))
+    head_np = np.asarray(head)  # the ONE synced readback
+    rr = (head_np.shape[0] - 1) // 2
+    k = int(head_np[0, 0])
+    kr = -(-k // 128) if k else 0
+    if kr <= rr:
+        pos = head_np[1 : 1 + max(kr, 1)].reshape(-1)[:k]
+        meta = head_np[1 + rr : 1 + rr + max(kr, 1)]
+        meta = meta.reshape(-1)[:k]
+    else:  # spill: very match-dense input, one extra readback
+        pos = np.asarray(pos2d[:kr]).reshape(-1)[:k]
+        meta = np.asarray(meta2d[:kr]).reshape(-1)[:k]
     return (pos.astype(np.int64), (meta >> 16).astype(np.int64),
             (meta & 0xFFFF).astype(np.int64))
 

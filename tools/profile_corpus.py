@@ -19,12 +19,23 @@ imgs = decode_png_corpus_device(blobs)
 print(f"warm (compile) {time.time()-t0:.2f}s")
 rgba_bytes = sum(i.nbytes for i in imgs)
 
+# Golden gate: every image must match its recorded sha256.
+import hashlib, json, os
+gold = json.load(open("/root/repo/tests/golden_png.json"))
+for f, img in zip(files, imgs):
+    name = os.path.basename(f)[:-4]
+    got = hashlib.sha256(img.tobytes()).hexdigest()
+    assert got == gold[name]["sha256"], f"{name} MISMATCH"
+print("golden: 15/15 sha256 ok")
+
 for rep in range(2):
     t0 = time.time()
     imgs = decode_png_corpus_device(blobs)
     dt = time.time() - t0
     print(f"full (numpy out): {dt*1e3:.0f} ms -> {rgba_bytes/dt/1e6:.1f} MB/s")
 
+from debigulator_tpu.utils.config import get_config
+get_config().verbosity = 2
 for rep in range(2):
     t0 = time.time()
     pix = decode_png_corpus_device(blobs, as_numpy=False)
