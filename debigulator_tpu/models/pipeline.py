@@ -453,11 +453,11 @@ def decode_png_corpus_device(datas: list[bytes], verify_crc: bool = True,
     for chunk in chunks:
         mp = build_merged_plan([streams[i] for i in chunk], records=False,
                                scanned=[scans[i][0] for i in chunk])
-        body = run_merged_plan(mp)
-        # Bucket the chunk's images by fused-kernel shape: every bucket
-        # is ONE device dispatch (lax.scan over offsets), and the
-        # offsets stage as one vector — per-image dispatches/scalars
-        # each cost ~21 ms of tunnel latency.
+        # Bucket the chunk's images by fused-kernel shape; the ENTIRE
+        # chunk — merged inflate of every stream plus every bucket's
+        # slice/Adler/unfilter/expand — runs as ONE device dispatch
+        # (each extra dispatch costs ~21 ms of tunnel latency, and the
+        # round-4 path paid one per image).
         buckets: dict = {}
         for k, (i, size) in enumerate(zip(chunk, mp.out_sizes)):
             info = parsed[i].info
@@ -469,6 +469,10 @@ def decode_png_corpus_device(datas: list[bytes], verify_crc: bool = True,
             key = (size, info.height, info.width, info.bpp,
                    info.color_type == C.PNG_COLOR_RGB)
             buckets.setdefault(key, []).append((i, mp.out_offsets[k]))
+        # (Measured on chip: fusing the merged inflate + every bucket
+        # into ONE jit was ~25% SLOWER than per-bucket dispatches — XLA
+        # schedules the mega-graph worse; per-bucket it is.)
+        body = run_merged_plan(mp)
         for (size, h, w, bpp, expand), members in buckets.items():
             offs_dev = jnp.asarray(
                 np.asarray([off for _, off in members], np.int32))
