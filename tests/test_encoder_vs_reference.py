@@ -112,7 +112,10 @@ def _stb_png_size(rgba) -> int:
 @pytest.mark.parametrize(
     "name",
     ["structuredart1.png", "structuredart2.png", "structuredart3.png",
-     "extraturns.png", "immunetomustsurvive.png"],
+     # The two block-dense inputs cost ~20 s each through the compiled
+     # reference gate — slow tier.
+     pytest.param("extraturns.png", marks=pytest.mark.slow),
+     pytest.param("immunetomustsurvive.png", marks=pytest.mark.slow)],
 )
 def test_size_beats_stb_per_input(corpus_dir, name):
     """Per-input gate vs the COMPILED reference encoder: our PNG encode of

@@ -131,6 +131,7 @@ def test_merged_flush_heavy_fixed_trim():
     assert outs == [data, b"normal text " * 500]
 
 
+@pytest.mark.slow
 def test_v14_experiment_matches_v13():
     """The v14 Phase B experiment (compaction-once + dense-list walk)
     stays bit-exact vs the flagship on a mixed stream."""

@@ -77,6 +77,7 @@ def test_ring_tail_exchange_semantics():
         np.testing.assert_array_equal(got[i], exp)
 
 
+@pytest.mark.slow
 def test_merged_plan_decode():
     from debigulator_tpu.parallel.merged import decode_merged
 

@@ -43,6 +43,7 @@ def test_decode_corpus_error_isolation(tmp_path, corpus_dir):
     assert not results[1].good and "PngError" in results[1].error
 
 
+@pytest.mark.slow
 def test_png_batch_decode(corpus_dir):
     names = ["structuredart1", "structuredart2", "structuredart3"]
     datas = [(corpus_dir / f"{n}.png").read_bytes() for n in names]

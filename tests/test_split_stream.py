@@ -112,6 +112,7 @@ def test_stored_blocks_at_boundaries():
     assert decode_split_emulated(stream, 3, seg_bytes=SEG) == data
 
 
+@pytest.mark.slow
 def test_shard_map_4_devices():
     """Full shard_map path: 4 sp shards over the CPU mesh, ppermute tails."""
     from debigulator_tpu.parallel.mesh import make_mesh

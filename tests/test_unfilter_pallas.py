@@ -30,6 +30,7 @@ def test_wavefront_pallas_matches_oracle(h, w, bpp):
     assert (got == exp).all()
 
 
+@pytest.mark.slow
 def test_fused_png_decode_matches_golden(monkeypatch):
     """The ONE-dispatch fused PNG path (v15 inflate + adler + Pallas
     unfilter) decodes bit-exact on a small corpus image."""
