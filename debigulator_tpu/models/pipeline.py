@@ -582,13 +582,30 @@ class DecodeResult:
     error: str | None = None
 
 
-def decode_corpus(paths, device: bool = True) -> list[DecodeResult]:
+def decode_corpus(paths, device: bool = True,
+                  manifest_path: str | None = None) -> list[DecodeResult]:
     """Decode a mixed list of .png/.gz/.bmp files (the concat_pngs.c /
-    batch analog).  One bad file poisons only its own entry."""
+    batch analog).  One bad file poisons only its own entry.
+
+    manifest_path: optional persisted completed-items manifest (SURVEY
+    §5.4): items already recorded good are skipped (returned with
+    data=None and good=True), and every completion appends a durable
+    row — a restarted job resumes at the remainder."""
+    manifest = None
+    if manifest_path is not None:
+        from debigulator_tpu.utils.manifest import JobManifest
+
+        manifest = JobManifest(manifest_path)
     results = []
     for path in paths:
         path = str(path)
         name = path.rsplit("/", 1)[-1]
+        if manifest is not None and name in manifest \
+                and manifest.entry(name)["good"]:
+            # Only successful completions skip; failures retry.
+            results.append(DecodeResult(name, True, None,
+                                        "skipped: already completed"))
+            continue
         try:
             blob = open(path, "rb").read()
             if name.endswith(".png"):
@@ -609,4 +626,14 @@ def decode_corpus(paths, device: bool = True) -> list[DecodeResult]:
                 results.append(DecodeResult(name, False, None, "unknown format"))
         except Exception as e:  # noqa: BLE001 — per-item failure isolation
             results.append(DecodeResult(name, False, None, f"{type(e).__name__}: {e}"))
+        if manifest is not None:
+            r = results[-1]
+            d = r.data
+            size = (d.nbytes if hasattr(d, "nbytes")
+                    else len(d) if d is not None else 0)
+            manifest.record(name, r.good, size=size,
+                            crc32=ck.crc32(bytes(d.tobytes()
+                                                 if hasattr(d, "tobytes")
+                                                 else d)) if d is not None
+                            else 0)
     return results

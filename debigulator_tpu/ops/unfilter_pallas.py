@@ -34,9 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from debigulator_tpu import constants as C
 
-#: VMEM budget guard: images whose skewed arrays exceed this should use
-#: the XLA fallback path (ops.unfilter_device).
-MAX_SKEW_BYTES = 72 * 1024 * 1024
+#: Skewed-array size guard: beyond this the XLA fallback path runs
+#: (ops.unfilter_device).  The kernel tiles diagonals over a sequential
+#: grid with HBM-resident skew arrays, so the bound is an HBM working-set
+#: guard, not a VMEM one — 4096x4096 RGBA (skew ~1.1 GB) fits easily.
+MAX_SKEW_BYTES = 4 * 1024 * 1024 * 1024
 
 
 def skew_bytes(height: int, width: int, bpp: int) -> int:
@@ -44,12 +46,14 @@ def skew_bytes(height: int, width: int, bpp: int) -> int:
     return 2 * (width + height + 1) * 8 * fp8 * 4
 
 
-def _wavefront_kernel(ft_ref, fsk_ref, init_ref, s_ref, *, h, w, fp, fp8,
-                      ndiag):
-    """ft: (8, fp8) filter type per flat; fsk: (ndiag*8, fp8) skewed
-    filtered bytes (diagonal d = rows 8d..8d+8); s (aliases init, zero):
-    ((ndiag+2)*8, fp8) skewed reconstruction at diagonal offset +2."""
-    del init_ref
+def _wavefront_kernel(ft_ref, fsk_ref, s_ref, carry_ref, *, h, w, fp, fp8,
+                      td):
+    """One diagonal tile: ft (8, fp8) filter type per flat; fsk block
+    (td*8, fp8) skewed filtered bytes (diagonal i*td+d = local rows
+    8d..8d+8); s block (td*8, fp8) skewed reconstruction.  The previous
+    diagonal and its shifted form carry across tiles in VMEM scratch
+    (rows 0-7 / 8-15), which persists across sequential grid steps."""
+    i = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, fp8), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, fp8), 0)
     flat = sub * fp8 + lane
@@ -60,6 +64,10 @@ def _wavefront_kernel(ft_ref, fsk_ref, init_ref, s_ref, *, h, w, fp, fp8,
     is_avg = ft == C.PNG_FILTER_AVERAGE
     is_paeth = ft == C.PNG_FILTER_PAETH
 
+    @pl.when(i == 0)
+    def _():
+        carry_ref[...] = jnp.zeros((16, fp8), jnp.int32)
+
     def shift1(row):
         """value at flat-1 (zeros entering at plane starts, y == 0)."""
         r = pltpu.roll(row, 1, axis=1)
@@ -69,6 +77,7 @@ def _wavefront_kernel(ft_ref, fsk_ref, init_ref, s_ref, *, h, w, fp, fp8,
 
     def body(scratch):
         del scratch
+        base = i * td
 
         def step(d, carry):
             # Carry = (previous diagonal V, its shifted form U two
@@ -93,14 +102,16 @@ def _wavefront_kernel(ft_ref, fsk_ref, init_ref, s_ref, *, h, w, fp, fp8,
                           jnp.where(is_avg, (left + up) >> 1,
                                     jnp.where(is_paeth, paeth, 0))))
             val = (fcol + pred) & 0xFF
-            x = d - y_flat
+            x = base + d - y_flat
             mask = (x >= 0) & (x < w) & (flat < fp)
             val = jnp.where(mask, val, 0)
-            s_ref[pl.ds((d + 2) * 8, 8), :] = val
+            s_ref[pl.ds(d * 8, 8), :] = val
             return (val, up)
 
-        z = jnp.zeros((8, fp8), jnp.int32)
-        jax.lax.fori_loop(0, ndiag, step, (z, z))
+        c0 = (carry_ref[0:8, :], carry_ref[8:16, :])
+        left, up = jax.lax.fori_loop(0, td, step, c0)
+        carry_ref[0:8, :] = left
+        carry_ref[8:16, :] = up
 
     pl.run_scoped(body, scratch=pltpu.SMEM((4,), jnp.int32))
 
@@ -139,32 +150,42 @@ def unfilter_wavefront_pallas(filtered, height: int, width: int, bpp: int,
     fp_pad = fp8 * 8
     ndiag = w + h - 1
 
+    # Diagonal tile size: in + out blocks within a ~32 MB VMEM budget
+    # (whole wavefront in one tile for small images).
+    row_bytes = 8 * fp8 * 4
+    td = max(8, min(ndiag, (16 * 1024 * 1024) // row_bytes))
+    ndiag_p = -(-ndiag // td) * td
+    n_tiles = ndiag_p // td
+
     # Plane-major: f[p, y, x]; shear so diagonals are columns; pad the
     # flat axis to fp_pad; transpose so diagonals are rows.
     f = fil[:, 1:].reshape(h, w, bpp).transpose(2, 0, 1)
     g = _shear(f.astype(jnp.int32), ndiag)          # (bpp, h, ndiag)
     g = g.reshape(fp, ndiag)
-    g = jnp.pad(g, ((0, fp_pad - fp), (0, 0)))
-    fsk = g.T.reshape(ndiag * 8, fp8)               # diag-major rows
+    g = jnp.pad(g, ((0, fp_pad - fp), (0, ndiag_p - ndiag)))
+    fsk = g.T.reshape(ndiag_p * 8, fp8)             # diag-major rows
 
     ft_flat = jnp.tile(ftype, bpp)
     ft_flat = jnp.pad(ft_flat, (0, fp_pad - fp)).reshape(8, fp8)
 
-    init = jnp.zeros(((ndiag + 2) * 8, fp8), jnp.int32)
     s = pl.pallas_call(
         functools.partial(_wavefront_kernel, h=h, w=w, fp=fp, fp8=fp8,
-                          ndiag=ndiag),
-        out_shape=jax.ShapeDtypeStruct(init.shape, jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        input_output_aliases={2: 0},
+                          td=td),
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((ndiag_p * 8, fp8), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((8, fp8), lambda i: (0, 0)),
+            pl.BlockSpec((td * 8, fp8), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((td * 8, fp8), lambda i: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((16, fp8), jnp.int32)],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
-    )(ft_flat, fsk, init)
+    )(ft_flat, fsk)
 
-    # Un-skew: drop the +2 diagonal offset, transpose back, inverse shear.
-    su = s.reshape(ndiag + 2, fp_pad)[2:].T[:fp]    # (fp, ndiag)
+    # Un-skew: transpose back, inverse shear.
+    su = s.reshape(ndiag_p, fp_pad)[:ndiag].T[:fp]  # (fp, ndiag)
     recon = _unshear(su.reshape(bpp, h, ndiag), w)  # (bpp, h, w)
     recon = recon.transpose(1, 2, 0).reshape(h, w * bpp)
     return recon.astype(jnp.uint8)

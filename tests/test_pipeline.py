@@ -142,3 +142,32 @@ def test_png_device_corpus_small(name, corpus_dir):
     data = (corpus_dir / f"{name}.png").read_bytes()
     rgba = pipeline.decode_png_device(data)
     assert hashlib.sha256(rgba.tobytes()).hexdigest() == GOLDEN[name]["sha256"]
+
+
+def test_corpus_manifest_resume(tmp_path, corpus_dir):
+    """SURVEY §5.4: a persisted manifest makes corpus jobs resumable —
+    completed items are durably recorded and skipped on restart, failed
+    items are retried."""
+    import json
+
+    good = corpus_dir / "structuredart1.png"
+    bad = tmp_path / "broken.png"
+    bad.write_bytes(b"\x89PNG\r\n\x1a\nnot a real png")
+    mpath = tmp_path / "job.manifest.jsonl"
+    r1 = pipeline.decode_corpus([good, bad], device=False,
+                                manifest_path=str(mpath))
+    assert [x.good for x in r1] == [True, False]
+    rows = [json.loads(x) for x in mpath.read_text().splitlines()]
+    assert {r["name"] for r in rows} == {"structuredart1.png", "broken.png"}
+    # Restart: the good item is skipped (no re-decode), the bad retried.
+    r2 = pipeline.decode_corpus([good, bad], device=False,
+                                manifest_path=str(mpath))
+    assert r2[0].good and r2[0].error == "skipped: already completed"
+    assert not r2[1].good
+    # Torn final line (crash mid-append) is ignored on load.
+    with open(mpath, "a") as f:
+        f.write('{"name": "torn')
+    from debigulator_tpu.utils.manifest import JobManifest
+
+    m = JobManifest(str(mpath))
+    assert "structuredart1.png" in m and "torn" not in m
