@@ -450,9 +450,22 @@ def decode_png_corpus_device(datas: list[bytes], verify_crc: bool = True,
     plog.mark("scan")
 
     pix_map, adlers, adler_idx = {}, [], []
-    for chunk in chunks:
-        mp = build_merged_plan([streams[i] for i in chunk], records=False,
-                               scanned=[scans[i][0] for i in chunk])
+
+    def _build(chunk):
+        return build_merged_plan([streams[i] for i in chunk],
+                                 records=False,
+                                 scanned=[scans[i][0] for i in chunk])
+
+    import concurrent.futures as cf
+
+    pool = cf.ThreadPoolExecutor(1)
+    fut = pool.submit(_build, chunks[0])
+    for ci, chunk in enumerate(chunks):
+        # Chunk i+1's host plan build overlaps chunk i's staging and
+        # (async) device dispatches.
+        mp = fut.result()
+        if ci + 1 < len(chunks):
+            fut = pool.submit(_build, chunks[ci + 1])
         # Bucket the chunk's images by fused-kernel shape; the ENTIRE
         # chunk — merged inflate of every stream plus every bucket's
         # slice/Adler/unfilter/expand — runs as ONE device dispatch
@@ -497,6 +510,7 @@ def decode_png_corpus_device(datas: list[bytes], verify_crc: bool = True,
                     datas[i], verify_crc=False,
                     verify_adler=verify_adler,
                     inflate_fn=inflate_native)
+    pool.shutdown(wait=False)
     plog.mark("dispatch")
     if verify_adler and adlers:
         got = np.asarray(jnp.stack(adlers))  # ONE readback for the batch
