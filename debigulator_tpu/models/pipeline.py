@@ -194,7 +194,7 @@ def decode_png_device(data, verify_crc: bool = True, verify_adler: bool = True):
     # On CPU the interpret-mode fused kernels are slow; tests cover the
     # fused path explicitly (DBG_FORCE_FUSED_PNG) on small images.
     if (pa is None or not fits or plan.first_state == v3.TERMINAL
-            or not (on_tpu or force)):
+            or v3.v15_stream_too_large(plan) or not (on_tpu or force)):
         return _decode_png_device_unfused(chunks, info, plog,
                                           verify_adler=verify_adler)
     if plan.out_size != expected_size:
@@ -255,9 +255,27 @@ def _decode_png_device_unfused(chunks, info, plog, verify_adler=True):
         if got != expected:
             raise png_codec.PngError("IDAT Adler-32 mismatch")
         plog.mark("adler")
-    recon = unfilter_device(
-        raw_dev, info.height, info.width, info.bpp, as_numpy=False
+    import jax
+
+    from debigulator_tpu.ops.unfilter_pallas import (
+        MAX_SKEW_BYTES,
+        skew_bytes,
+        unfilter_wavefront_pallas,
     )
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    force = bool(__import__("os").environ.get("DBG_FORCE_FUSED_PNG"))
+    if ((on_tpu or force) and skew_bytes(
+            info.height, info.width, info.bpp) <= MAX_SKEW_BYTES):
+        import jax.numpy as jnp
+
+        recon = unfilter_wavefront_pallas(
+            raw_dev.astype(jnp.uint8), info.height, info.width, info.bpp,
+            interpret=not on_tpu)
+    else:
+        recon = unfilter_device(
+            raw_dev, info.height, info.width, info.bpp, as_numpy=False
+        )
     plog.mark("unfilter")
     ct = info.color_type
     if ct == C.PNG_COLOR_RGBA:

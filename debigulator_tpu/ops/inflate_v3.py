@@ -1117,6 +1117,17 @@ def _tape_v3_jit(arrays, n_bits, slots, exact=False):
     return tape, overflow, counts, sweeps
 
 
+def v15_stream_too_large(plan) -> bool:
+    """True when ONE stream's lit-tape footprint exceeds the v15
+    run-meta lit-row field (2^18 rows ≈ a 16 MB+ IDAT at 8 slots) — such
+    streams decode through the capless v5 XLA pipeline instead; merged
+    BATCHES chunk below the cap at the driver level."""
+    from debigulator_tpu.ops.phase_a_pallas import TC
+
+    cells_pad = -(-plan.num_cells // TC) * TC
+    return cells_pad * plan.slots // 128 > (1 << 18)
+
+
 def _use_pallas() -> bool:
     import jax
 
@@ -1176,7 +1187,14 @@ def inflate_device_v3_dev(data: bytes, slots: int = DEFAULT_SLOTS,
         from debigulator_tpu.ops.phase_a_pallas import build_pa_arrays
 
         pa = build_pa_arrays(plan, stage=False)
-        if pa is not None:
+        if (pa is not None and v15_stream_too_large(plan)
+                and len(cells) == 3):
+            # Over the per-call run-meta cap: bounded v15 chunks with the
+            # 32 KiB window carried on device between calls.
+            body, out_size = inflate_device_long_stream(
+                data, blocks, lengths, cells)
+            return body, out_size
+        if pa is not None and not v15_stream_too_large(plan):
             n_seg = _round_pow2(max(1, -(-plan.out_size // SEG_BYTES)), 1)
             interp = jax.default_backend() == "cpu"
             if _os.environ.get("DBG_PHASE_B", "v15") != "v13":
@@ -1203,6 +1221,22 @@ def inflate_device_v3_dev(data: bytes, slots: int = DEFAULT_SLOTS,
             return body, plan.out_size
 
     arrays = plan_arrays_v3(plan)
+    if use_pallas and plan.out_size + lz.WINDOW + 512 > lz.OUT_CAP + lz.WINDOW:
+        # Large stream off the v15 path (e.g. over the run-meta cap):
+        # XLA Phase A + segmented v6 Pallas resolve — no size cap.
+        n_seg = _round_pow2(max(1, -(-plan.out_size // SEG_BYTES)), 1)
+        interp = jax.default_backend() == "cpu"
+        body, overflow = _inflate_v5_jit(
+            arrays, plan.n_bits, plan.slots, n_seg, exact=exact,
+            interpret=interp,
+        )
+        if not plan.slots_exact and bool(overflow):
+            body, overflow = _inflate_v5_jit(
+                arrays, plan.n_bits, CELL_BITS, n_seg, exact=exact,
+                interpret=interp,
+            )
+            assert not bool(overflow)
+        return body, plan.out_size
     if use_pallas and plan.out_size + lz.WINDOW + 512 <= lz.OUT_CAP + lz.WINDOW:
         out_rows = _round_pow2(
             -(-(plan.out_size + lz.PAD + lz.WINDOW + lz.MAXLEN + 512) // 128), 64
@@ -1360,9 +1394,11 @@ def _inflate_v13_jit(pa, arrays, slots, n_seg, interpret=False):
     return body, overflow
 
 
-def flagship_body(pa, arrays, slots, n_seg, interpret=False):
+def flagship_body(pa, arrays, slots, n_seg, interpret=False, tail0=None):
     """Traceable core of the flagship v15 pipeline (callable inside a
     larger jit, e.g. the fused PNG decode): Pallas Phase A + v15 Phase B.
+    tail0: optional (256, 128) int32 window prologue (the long-stream
+    chunked driver carries the 32 KiB window between bounded calls).
     Returns (body bytes-as-int32, overflow flag)."""
     from debigulator_tpu.ops.phase_a_pallas import phase_a13_pallas
     from debigulator_tpu.ops.phase_b_v15 import resolve_segmented_v15
@@ -1378,7 +1414,7 @@ def flagship_body(pa, arrays, slots, n_seg, interpret=False):
         body = resolve_segmented_v15(
             ma, mb, ra, rb, lit, cnt, outlen, pa["cellw"][4, :], n_seg,
             arrays["stored_pos"], arrays["stored_val"], slots, SEG_BYTES,
-            interpret=interpret,
+            interpret=interpret, tail0=tail0,
         )
     return body, overflow
 
@@ -1416,8 +1452,13 @@ def pack_stage_arrays(pa_np: dict, plan) -> tuple[np.ndarray, tuple]:
     with one in-jit roll — 20% off the largest staged array.
     """
     cellw = np.asarray(pa_np["cellw"])
+    # Row 4 (per-cell stored-bytes offset) is identically zero unless the
+    # stream has stored blocks — skip its transfer then (12.5% of the
+    # dominant staged array; the tunnel moves ~55 MB/s).
+    rows = [0, 1, 3] if not np.any(cellw[4]) else [0, 1, 3, 4]
     items = [("tile_pb", np.asarray(pa_np["tile_pb"])),
-             ("cellw4", np.ascontiguousarray(cellw[[0, 1, 3, 4], :])),
+             (f"cellw{len(rows)}",
+              np.ascontiguousarray(cellw[rows, :])),
              ("params", np.asarray(pa_np["params"])),
              ("ll_planes", np.asarray(pa_np["ll_planes"])),
              ("d_planes", np.asarray(pa_np["d_planes"]))]
@@ -1452,12 +1493,21 @@ def unpack_stage_arrays(buf, metas) -> dict:
 
 
 def unpack_pa_arrays(buf, metas) -> tuple[dict, dict]:
-    """Traced: packed buffer -> (pa dict, stored arrays dict)."""
+    """Traced: packed buffer -> (pa dict, stored arrays dict).
+
+    cellw ships as rows (0, 1, 3[, 4]): row 2 (the lookahead word)
+    rebuilds as w0 shifted one cell, and row 4 (stored-bytes offsets) is
+    zeros unless the stream has stored blocks."""
     d = unpack_stage_arrays(buf, metas)
-    c4 = d.pop("cellw4")
+    if "cellw4" in d:
+        cw = d.pop("cellw4")
+        row4 = cw[3]
+    else:
+        cw = d.pop("cellw3")
+        row4 = jnp.zeros_like(cw[0])
     w2 = jnp.concatenate(
-        [c4[0, 1:], jnp.zeros((1,), c4.dtype)])  # lookahead = w0 << 1 cell
-    d["cellw"] = jnp.stack([c4[0], c4[1], w2, c4[2], c4[3]])
+        [cw[0, 1:], jnp.zeros((1,), cw.dtype)])  # lookahead = w0 << 1 cell
+    d["cellw"] = jnp.stack([cw[0], cw[1], w2, cw[2], row4])
     pa = {k: d[k] for k in _PACK_KEYS}
     arrays = {"stored_pos": d["stored_pos"], "stored_val": d["stored_val"]}
     return pa, arrays
@@ -1470,5 +1520,87 @@ def _inflate_v15_packed_jit(buf, metas, slots, n_seg, interpret=False):
     """Flagship v15 fed by the ONE-transfer packed staging buffer."""
     pa, arrays = unpack_pa_arrays(buf, metas)
     return flagship_body(pa, arrays, slots, n_seg, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metas", "slots", "n_seg", "interpret"),
+)
+def _inflate_v15_packed_tail_jit(buf, tail0, metas, slots, n_seg,
+                                 interpret=False):
+    """Packed flagship with a carried window prologue (chunked driver)."""
+    pa, arrays = unpack_pa_arrays(buf, metas)
+    return flagship_body(pa, arrays, slots, n_seg, interpret=interpret,
+                         tail0=tail0)
+
+
+def inflate_device_long_stream(data: bytes, blocks, lengths, cells,
+                               cap_rows: int = 1 << 18):
+    """Decode ONE stream larger than the v15 run-meta cap: block-aligned
+    sub-plans of bounded cell count run the flagship v15 pipeline in
+    sequence with the 32 KiB window carried on DEVICE between calls —
+    output stays device-resident throughout (the capless v5 XLA graph
+    would materialize per-position NXT/META tables, ~10 GB at 80 MB of
+    scanlines).  Returns (device body int32 (out_size_padded,), out_size).
+    """
+    import dataclasses as _dc
+
+    from debigulator_tpu.ops.phase_a_pallas import TC, build_pa_arrays
+    from debigulator_tpu.ops.phase_b_v15 import WIN_ROWS
+
+    states, pends, mct = cells
+    slots_bound = next(s for s in (8, 16, 32, 64, 128) if s >= max(mct, 1))
+    cap_cells = (cap_rows * 128 // slots_bound) // (2 * TC) * TC
+
+    # Block-aligned chunks: block b occupies cells [vcell(b), vcell(b+1))
+    # on the virtual layout (every block is cell-aligned), so per-block cell
+    # extents are host-known without decoding.
+    ncells_b = [
+        0 if b.btype == C.BTYPE_STORED
+        else max(1, -(-(b.end_bit - b.data_start_bit) // CELL_BITS))
+        for b in blocks
+    ]
+    chunks = []
+    cur, cur_cells = [], 0
+    for b, nc in enumerate(ncells_b):
+        if cur and cur_cells + nc > cap_cells:
+            chunks.append(cur)
+            cur, cur_cells = [], 0
+        cur.append(b)
+        cur_cells += nc
+    chunks.append(cur)
+
+    interp = jax.default_backend() == "cpu"
+    tail = jnp.zeros((WIN_ROWS, 128), jnp.int32)
+    bodies = []
+    cell0 = 0
+    for chunk in chunks:
+        b0, b1 = chunk[0], chunk[-1] + 1
+        out0 = blocks[b0].out_start
+        sub_blocks = [
+            _dc.replace(b, out_start=b.out_start - out0)
+            for b in blocks[b0:b1]
+        ]
+        nchunk_cells = sum(ncells_b[b0:b1])
+        sub_states = states[cell0 : cell0 + nchunk_cells].astype(np.int64)
+        sub_states = np.where(
+            sub_states >= 0, sub_states - 2 * cell0 * CELL_BITS, -1)
+        sub_cells = (sub_states.astype(np.int32),
+                     pends[cell0 : cell0 + nchunk_cells], mct)
+        plan = build_plan_v3(data, sub_blocks, lengths[b0:b1],
+                             cells=sub_cells)
+        pa_np = build_pa_arrays(plan, stage=False)
+        assert pa_np is not None, "chunked long-stream plan not coverable"
+        buf, metas = pack_stage_arrays(pa_np, plan)
+        n_seg = _round_pow2(max(1, -(-plan.out_size // SEG_BYTES)), 1)
+        body, overflow = _inflate_v15_packed_tail_jit(
+            jnp.asarray(buf), tail, metas, plan.slots, n_seg,
+            interpret=interp)
+        bodies.append(body[: plan.out_size])
+        tail = jnp.concatenate(
+            [tail.reshape(-1), body[: plan.out_size]]
+        )[-WIN_ROWS * 128:].reshape(WIN_ROWS, 128)
+        cell0 += nchunk_cells
+    out = jnp.concatenate(bodies)
+    return out, int(out.shape[0])
 
 

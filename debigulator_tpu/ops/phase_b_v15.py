@@ -838,7 +838,7 @@ def _round_up(n, m):
 def resolve_segmented_v15(ma, mb, ra, rb, lit, cnt, outlen, bob_cell,
                           n_seg: int, stored_pos, stored_val,
                           slots: int, seg_bytes: int,
-                          interpret: bool = False):
+                          interpret: bool = False, tail0=None):
     """Phase B v15 driver (same contract as resolve_ops_segmented_v13).
 
     ma/mb/ra/rb/lit: (slots, cells_pad) Phase A tapes; cnt packs
@@ -980,7 +980,7 @@ def resolve_segmented_v15(ma, mb, ra, rb, lit, cnt, outlen, bob_cell,
     with named_scope("v15_walk"):
         out2d = walk_all_v16(
             out_flat.reshape(-1, 128), lims, mw0, mw1, rdst, rmeta, lit2d,
-            seg_rows=seg_bytes // 128, interpret=interpret)
+            seg_rows=seg_bytes // 128, tail0=tail0, interpret=interpret)
     return out2d.reshape(-1)
 
 

@@ -194,3 +194,21 @@ def test_multi_segment_with_stored_blocks():
     st, data = _stored_mix_stream(300, 400, 300)
     assert len(data) > v3.SEG_BYTES  # must span >= 2 segments
     assert _run_v13(st) == data
+
+
+@pytest.mark.slow
+def test_long_stream_chunked_window_carry():
+    """Streams over the v15 run-meta cap decode via bounded flagship
+    chunks with the 32 KiB window carried on device between calls
+    (VERDICT r4 item 7 follow-through: a 4096^2 PNG's 80 MB scanline
+    stream exceeds the per-call cap).  Forced tiny cap => many chunks;
+    matches crossing chunk boundaries resolve through the carried tail."""
+    rng = np.random.default_rng(5)
+    data = (bytes(rng.integers(0, 64, 600_000, dtype=np.uint8))
+            + b"repeat me " * 6000)
+    stream = _deflate(data)
+    blocks, lengths, cells = scan_stream_cells(stream, v3.CELL_BITS)
+    assert len(blocks) >= 3
+    out, n = v3.inflate_device_long_stream(stream, blocks, lengths, cells,
+                                           cap_rows=4096)
+    assert np.asarray(out[:n]).astype(np.uint8).tobytes() == data
