@@ -246,23 +246,20 @@ def _select_jit(n: int, dists: tuple, cap: int, interpret: bool):
     def f(data):
         data = data.astype(jnp.int32)
         idx = jnp.arange(n, dtype=jnp.int32)
-        # All candidate distances as ONE (D, n) batch: one stacked
-        # compare + one batched reversed cummin instead of D separate
-        # scan ops (the per-distance form cost 36.6 ms at 4 MB).
-        eqs = jnp.stack([
-            jnp.concatenate([jnp.zeros(d, jnp.bool_),
-                             data[d:] == data[:-d]])
-            for d in dists])
-        z = jnp.where(eqs, n, idx[None, :])
-        nz = jax.lax.cummin(z[:, ::-1], axis=1)[:, ::-1]
-        lns = jnp.minimum(nz - idx[None, :], cap)
-        pick = jnp.argmax(lns, axis=0)  # ties -> smallest distance
-        best_len = jnp.max(lns, axis=0)
-        ok = best_len >= C.MIN_MATCH_LENGTH
-        best_len = jnp.where(ok, best_len, 0)
+        best_len = jnp.zeros(n, jnp.int32)
         best_dist = jnp.zeros(n, jnp.int32)
-        for k, d in enumerate(dists):  # elementwise select, no gather
-            best_dist = jnp.where(ok & (pick == k), d, best_dist)
+        # Per-distance streaming form (measured FASTER than one stacked
+        # (D, n) batched cummin, which materializes ~2x100 MB
+        # intermediates at 4 MB inputs).
+        for d in dists:
+            eq = jnp.concatenate(
+                [jnp.zeros(d, jnp.bool_), data[d:] == data[:-d]])
+            z = jnp.where(eq, n, idx)
+            nz = jax.lax.cummin(z, reverse=True)
+            ln = jnp.minimum(nz - idx, cap)
+            better = (ln >= C.MIN_MATCH_LENGTH) & (ln > best_len)
+            best_len = jnp.where(better, ln, best_len)
+            best_dist = jnp.where(better, d, best_dist)
         pad = rows_p * 128 - n
         bl2d = jnp.pad(best_len, (0, pad)).reshape(rows_p, 128)
         bd2d = jnp.pad(best_dist, (0, pad)).reshape(rows_p, 128)
