@@ -470,9 +470,24 @@ def decode_png_corpus_device(datas: list[bytes], verify_crc: bool = True,
     pix_map, adlers, adler_idx = {}, [], []
 
     def _build(chunk):
-        return build_merged_plan([streams[i] for i in chunk],
-                                 records=False,
-                                 scanned=[scans[i][0] for i in chunk])
+        """FULL host prep for one chunk — merged plan, Phase A arrays,
+        packed staging buffer — so it all overlaps the previous chunk's
+        staging + (async) device dispatches."""
+        from debigulator_tpu.ops.phase_a_pallas import build_pa_arrays
+
+        mp = build_merged_plan([streams[i] for i in chunk],
+                               records=False,
+                               scanned=[scans[i][0] for i in chunk])
+        plan = mp.plan
+        packed = None
+        if plan.exact_entries and plan.slots_exact:
+            pa_np = build_pa_arrays(plan, stage=False)
+            if pa_np is not None:
+                buf, metas = v3.pack_stage_arrays(pa_np, plan)
+                n_seg = v3._round_pow2(
+                    max(1, -(-plan.out_size // v3.SEG_BYTES)), 1)
+                packed = (buf, metas, n_seg)
+        return mp, packed
 
     import concurrent.futures as cf
 
@@ -481,7 +496,7 @@ def decode_png_corpus_device(datas: list[bytes], verify_crc: bool = True,
     for ci, chunk in enumerate(chunks):
         # Chunk i+1's host plan build overlaps chunk i's staging and
         # (async) device dispatches.
-        mp = fut.result()
+        mp, packed = fut.result()
         if ci + 1 < len(chunks):
             fut = pool.submit(_build, chunks[ci + 1])
         # Bucket the chunk's images by fused-kernel shape; the ENTIRE
@@ -503,7 +518,13 @@ def decode_png_corpus_device(datas: list[bytes], verify_crc: bool = True,
         # (Measured on chip: fusing the merged inflate + every bucket
         # into ONE jit was ~25% SLOWER than per-bucket dispatches — XLA
         # schedules the mega-graph worse; per-bucket it is.)
-        body = run_merged_plan(mp)
+        if packed is not None:
+            buf, metas, n_seg = packed
+            body, _ = v3._inflate_v15_packed_jit(
+                jnp.asarray(buf), metas, mp.plan.slots, n_seg,
+                interpret=not on_tpu)
+        else:
+            body = run_merged_plan(mp)
         for (size, h, w, bpp, expand), members in buckets.items():
             offs_dev = jnp.asarray(
                 np.asarray([off for _, off in members], np.int32))
