@@ -37,50 +37,6 @@ from debigulator_tpu import constants as C
 BASE_DISTANCES = (1, 2, 3, 4, 8)
 
 
-@functools.lru_cache(maxsize=None)
-def _lengths_jit(n: int, dists: tuple, cap: int):
-    import jax
-    import jax.numpy as jnp
-
-    def f(data):
-        data = data.astype(jnp.int32)
-        idx = jnp.arange(n, dtype=jnp.int32)
-        best_len = jnp.zeros(n, jnp.int32)
-        best_dist = jnp.zeros(n, jnp.int32)
-        for d in dists:
-            if d >= n:
-                continue
-            eq = jnp.concatenate(
-                [jnp.zeros(d, jnp.bool_), data[d:] == data[:-d]])
-            # Next zero at-or-after i: reversed cumulative min of the
-            # zero positions -> run length from i.
-            z = jnp.where(eq, n, idx)
-            nz = jax.lax.cummin(z[::-1])[::-1]
-            ln = jnp.minimum(nz - idx, cap)
-            # A match at i needs data[i-d:] to repeat: eq from i on.
-            better = (ln >= C.MIN_MATCH_LENGTH) & (ln > best_len)
-            best_len = jnp.where(better, ln, best_len)
-            best_dist = jnp.where(better, d, best_dist)
-        return best_len, best_dist
-
-    return jax.jit(f)
-
-
-def lz77_lengths_device(data: np.ndarray, stride: int | None = None,
-                        cap: int = C.MAX_MATCH_LENGTH):
-    """Best (len, dist) per position over the static distance ladder —
-    all elementwise/scan work, one jit dispatch."""
-    import jax.numpy as jnp
-
-    n = len(data)
-    dists = list(BASE_DISTANCES)
-    if stride and stride not in dists:
-        dists.append(int(stride))
-    f = _lengths_jit(n, tuple(sorted(set(d for d in dists if d < n))), cap)
-    bl, bd = f(jnp.asarray(np.asarray(data, np.uint8)))
-    return np.asarray(bl), np.asarray(bd)
-
-
 #: Greedy-walk kernel staging rows (positions per stage = SUB*128).
 _WALK_SUB = 128
 
@@ -190,39 +146,6 @@ def _greedy_walk_kernel(n_ref, bl_hbm, bd_hbm, pos_ref, meta_ref, cnt_ref,
     pltpu.make_async_copy(om_s, meta_ref.at[pl.ds(fr, _WALK_SUB), :],
                           sems.at[3]).wait()
     cnt_ref[0] = k
-
-
-@functools.lru_cache(maxsize=None)
-def _walk_jit(rows: int, out_rows: int, interpret: bool):
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    def f(n, bl2d, bd2d):
-        return pl.pallas_call(
-            _greedy_walk_kernel,
-            out_shape=[
-                jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
-                jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
-                jax.ShapeDtypeStruct((1,), jnp.int32),
-            ],
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
-            out_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                       pl.BlockSpec(memory_space=pl.ANY),
-                       pl.BlockSpec(memory_space=pltpu.SMEM)],
-            scratch_shapes=[
-                pltpu.SMEM((_WALK_SUB, 128), jnp.int32),
-                pltpu.SMEM((_WALK_SUB, 128), jnp.int32),
-                pltpu.SMEM((_WALK_SUB, 128), jnp.int32),
-                pltpu.SMEM((_WALK_SUB, 128), jnp.int32),
-                pltpu.SemaphoreType.DMA((4,)),
-            ],
-            interpret=interpret,
-        )(n, bl2d, bd2d)
-
-    return jax.jit(f)
 
 
 #: First-readback cap in match rows (x128 matches, x1 KiB per row pair).

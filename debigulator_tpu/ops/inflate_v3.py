@@ -44,7 +44,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from debigulator_tpu import constants as C
-from debigulator_tpu.ops.huffman import build_decode_table
 from debigulator_tpu.ops.inflate_ref import BlockInfo
 
 #: Cell size in bits.  With exact scanner entries there is no self-sync

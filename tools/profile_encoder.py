@@ -26,13 +26,7 @@ out = dj.deflate_fixed_device(filt, stride=stride, dev_data=dev)  # warm
 t0 = time.time(); out = dj.deflate_fixed_device(filt, stride=stride, dev_data=dev)
 print(f"total device-encode: {(time.time()-t0)*1e3:.1f} ms -> {n/ (time.time()-t0)/1e6:.1f} MB/s, {len(out)} B")
 
-# Phase: lengths jit
-dist_t = tuple(sorted(set(d for d in list(dj.BASE_DISTANCES) + [stride] if d < n)))
-lf = dj._lengths_jit(n, dist_t, 258)
-bl, bd = lf(dev); np.asarray(probe(bl))
-t0 = time.time(); bl, bd = lf(dev); np.asarray(probe(bl))
-print(f"lengths jit: {(time.time()-t0)*1e3:.1f} ms")
-# Phase: select (lengths + walk + readback)
+# Phase: select (fused lengths + walk + readback)
 t0 = time.time(); sel, lens, dists = dj.lz77_select_device(data_np, stride=stride, dev_data=dev)
 print(f"select (lengths+walk+readback): {(time.time()-t0)*1e3:.1f} ms, {len(sel)} matches")
 # Phase: parse (select + token assembly)
