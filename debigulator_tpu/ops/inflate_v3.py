@@ -1188,11 +1188,20 @@ def inflate_device_v3_dev(data: bytes, slots: int = DEFAULT_SLOTS,
         pa = build_pa_arrays(plan, stage=False)
         if (pa is not None and v15_stream_too_large(plan)
                 and len(cells) == 3):
-            # Over the per-call run-meta cap: bounded v15 chunks with the
-            # 32 KiB window carried on device between calls.
-            body, out_size = inflate_device_long_stream(
-                data, blocks, lengths, cells)
-            return body, out_size
+            try:
+                # Over the per-call run-meta cap: bounded v15 chunks with
+                # the 32 KiB window carried on device between calls.
+                body, out_size = inflate_device_long_stream(
+                    data, blocks, lengths, cells)
+                return body, out_size
+            except SingleBlockTooLarge:
+                # One un-splittable DEFLATE block over the cap (e.g. our
+                # own encoder's single-block output at 16 MB+): native
+                # serial inflate, result staged to device.
+                from debigulator_tpu.native.scanner import inflate_native
+
+                out = np.frombuffer(inflate_native(data), np.uint8)
+                return jnp.asarray(out.astype(np.int32)), len(out)
         if pa is not None and not v15_stream_too_large(plan):
             n_seg = _round_pow2(max(1, -(-plan.out_size // SEG_BYTES)), 1)
             interp = jax.default_backend() == "cpu"
@@ -1532,6 +1541,11 @@ def _inflate_v15_packed_tail_jit(buf, tail0, metas, slots, n_seg,
                          tail0=tail0)
 
 
+class SingleBlockTooLarge(RuntimeError):
+    """One DEFLATE block alone exceeds the per-call v15 cap (cannot be
+    split at a block boundary)."""
+
+
 def inflate_device_long_stream(data: bytes, blocks, lengths, cells,
                                cap_rows: int = 1 << 18):
     """Decode ONE stream larger than the v15 run-meta cap: block-aligned
@@ -1558,6 +1572,10 @@ def inflate_device_long_stream(data: bytes, blocks, lengths, cells,
         else max(1, -(-(b.end_bit - b.data_start_bit) // CELL_BITS))
         for b in blocks
     ]
+    if max(ncells_b, default=0) > cap_cells:
+        raise SingleBlockTooLarge(
+            f"a single block spans {max(ncells_b)} cells "
+            f"(> cap {cap_cells})")
     chunks = []
     cur, cur_cells = [], 0
     for b, nc in enumerate(ncells_b):
