@@ -222,12 +222,55 @@ def _select_jit(n: int, dists: tuple, cap: int, interpret: bool):
     return jax.jit(f)
 
 
+#: Sampled-candidate mining: positions sampled / top distances added.
+_MINE_SAMPLE = 1 << 15
+_MINE_TOP = 4
+
+
+def mine_distances(data: np.ndarray, k: int = _MINE_TOP) -> list[int]:
+    """Input-adaptive candidate distances: hash 4-grams at ~32k sampled
+    positions, take each sample's distance to the PREVIOUS occurrence of
+    its hash, histogram, return the top-k distances.  O(sample) NumPy on
+    the host — generalizes the static ladder to arbitrary periodic /
+    structured data (the reference's stb encoder finds such matches via
+    its per-position hash chain, stb_write.h:867-877; here they become
+    extra device-scan candidates)."""
+    n = len(data)
+    if n < 4096:
+        return []
+    step = max(1, n // _MINE_SAMPLE)
+    pos = np.arange(0, n - 4, step, dtype=np.int64)
+    d = data.astype(np.uint32)
+    h = (d[pos] * 2654435761 ^ d[pos + 1] * 40503
+         ^ d[pos + 2] * 668265263 ^ d[pos + 3] * 374761393) & 0xFFFF
+    order = np.argsort(h, kind="stable")
+    hs, ps = h[order], pos[order]
+    same = hs[1:] == hs[:-1]
+    gaps = (ps[1:] - ps[:-1])[same]
+    gaps = gaps[(gaps >= 1) & (gaps < 32768)]
+    if not len(gaps):
+        return []
+    vals, counts = np.unique(gaps, return_counts=True)
+    top = vals[np.argsort(-counts)][: 2 * k]
+    # Prefer distinct magnitudes (skip near-duplicates of the ladder).
+    out = []
+    for v in top:
+        v = int(v)
+        if all(abs(v - e) > 2 for e in list(BASE_DISTANCES) + out):
+            out.append(v)
+        if len(out) >= k:
+            break
+    return out
+
+
 def lz77_select_device(data: np.ndarray, stride: int | None = None,
-                       dev_data=None):
+                       dev_data=None, mine: bool = True):
     """Fused device lengths + greedy walk.  Returns (sel, lens, dists)
     numpy arrays of the selected matches; one dispatch, one readback in
     the common case.  dev_data: optional pre-staged device copy of data
-    (bench hook: excludes the h2d transfer from the timed region)."""
+    (bench hook: excludes the h2d transfer from the timed region).
+    mine=True adds input-adaptive candidate distances (mine_distances)
+    to the static ladder."""
     import jax
     import jax.numpy as jnp
 
@@ -235,6 +278,8 @@ def lz77_select_device(data: np.ndarray, stride: int | None = None,
     dists = list(BASE_DISTANCES)
     if stride and stride not in dists:
         dists.append(int(stride))
+    if mine:
+        dists.extend(mine_distances(np.asarray(data, np.uint8)))
     dist_t = tuple(sorted(set(d for d in dists if d < n)))
     interpret = jax.default_backend() == "cpu"
     f = _select_jit(n, dist_t, C.MAX_MATCH_LENGTH, interpret)

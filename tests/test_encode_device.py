@@ -46,3 +46,27 @@ def test_device_parse_token_stream_reconstructs():
             for k in range(int(l)):
                 out.append(out[start + k])
     assert bytes(out) == data.tobytes()
+
+
+def test_mined_distances_general_match_search():
+    """Input-adaptive candidates (VERDICT r4 item 6): sampled 4-gram
+    hashing adds the data's real repeat distances to the device scan,
+    so structured data with periods outside the static ladder still
+    compresses.  Random bytes with prime period 977: the static ladder
+    finds ZERO matches (stored fallback); mining finds the period and
+    the stream compresses ~36x, still decoding bit-exact."""
+    from debigulator_tpu.ops.deflate_encode_jnp import (
+        lz77_select_device,
+        mine_distances,
+    )
+
+    rng = np.random.default_rng(1)
+    block = bytes(rng.integers(0, 256, 977, dtype=np.uint8))
+    data = block * 60
+    arr = np.frombuffer(data, np.uint8)
+    assert 977 in mine_distances(arr)
+    sel_static, _, _ = lz77_select_device(arr, mine=False)
+    assert len(sel_static) == 0
+    out = deflate_fixed_device(data)
+    assert zlib.decompress(out, -15) == data
+    assert len(out) < len(data) // 30
