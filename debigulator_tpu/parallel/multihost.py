@@ -151,6 +151,9 @@ def main() -> int:
     # OS scheduling adds tens of percent of run-to-run noise that is not
     # the distributed machinery's cost.
     def cluster_round():
+        # NOT core-pinned: measured, pinning each worker to one core
+        # makes the ratio structurally unfair (the single-process
+        # baseline exploits both cores via XLA intra-op threading).
         procs = []
         for pid in range(2):
             env = dict(os.environ, DBG_MH_WORKER=str(pid),
