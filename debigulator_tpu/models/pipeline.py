@@ -486,7 +486,9 @@ def decode_png_corpus_device(datas: list[bytes], verify_crc: bool = True,
                 buf, metas = v3.pack_stage_arrays(pa_np, plan)
                 n_seg = v3._round_pow2(
                     max(1, -(-plan.out_size // v3.SEG_BYTES)), 1)
-                packed = (buf, metas, n_seg)
+                # Stage from the prep thread too: the next chunk's h2d
+                # transfer rides behind this chunk's device work.
+                packed = (jnp.asarray(buf), metas, n_seg)
         return mp, packed
 
     import concurrent.futures as cf
@@ -519,9 +521,9 @@ def decode_png_corpus_device(datas: list[bytes], verify_crc: bool = True,
         # into ONE jit was ~25% SLOWER than per-bucket dispatches — XLA
         # schedules the mega-graph worse; per-bucket it is.)
         if packed is not None:
-            buf, metas, n_seg = packed
+            dev_buf, metas, n_seg = packed
             body, _ = v3._inflate_v15_packed_jit(
-                jnp.asarray(buf), metas, mp.plan.slots, n_seg,
+                dev_buf, metas, mp.plan.slots, n_seg,
                 interpret=not on_tpu)
         else:
             body = run_merged_plan(mp)
